@@ -1,0 +1,74 @@
+"""Sphere-based collision robot model.
+
+TPU-native port of /root/reference/gpmp2/kinematics/RobotModel.h (+ -inl.h):
+an FK model plus a set of body spheres (link id, radius, center in link
+frame). The per-sphere chain rule J_point_conf = J_point_pose * J_pose_jp
+(RobotModel-inl.h:28-39) is replaced by AD through `sphere_centers_world`.
+
+The 7 reference model typedefs (ArmModel, PointRobotModel, Pose2Mobile*Model)
+are all `RobotModel` instances with the corresponding FK type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.statespace import StateSpace
+from . import fk as fk_mod
+
+__all__ = ["RobotModel", "make_robot_model"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotModel:
+    """FK + body spheres. Vmappable pytree; `fk` carries the static family."""
+
+    fk: object
+    sphere_link_ids: jnp.ndarray  # (S,) int32
+    sphere_radii: jnp.ndarray  # (S,)
+    sphere_centers: jnp.ndarray  # (S, 3) in link frames
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sphere_radii.shape[-1]
+
+    @property
+    def dof(self) -> int:
+        return fk_mod.dof_of(self.fk)
+
+    @property
+    def space(self) -> StateSpace:
+        return fk_mod.state_space_of(self.fk)
+
+
+jax.tree_util.register_dataclass(
+    RobotModel,
+    data_fields=["fk", "sphere_link_ids", "sphere_radii", "sphere_centers"],
+    meta_fields=[],
+)
+
+
+def make_robot_model(fk, spheres: Sequence[Tuple[int, float, Tuple[float, float, float]]],
+                     dtype=jnp.float32) -> RobotModel:
+    """Build a RobotModel from (link_id, radius, center_xyz) tuples,
+    mirroring BodySphereVector construction (RobotModel.h:20-31)."""
+    ids = jnp.asarray([s[0] for s in spheres], jnp.int32)
+    radii = jnp.asarray([s[1] for s in spheres], dtype)
+    centers = jnp.asarray([tuple(s[2]) for s in spheres], dtype)
+    return RobotModel(fk, ids, radii, centers)
+
+
+def sphere_centers_world(model: RobotModel, q):
+    """World positions of all body spheres, shape (S, 3).
+
+    Matches RobotModel::sphereCenters (RobotModel-inl.h:12-40): gather the
+    link pose for each sphere and map the local center through it.
+    """
+    poses = fk_mod.link_poses(model.fk, q)
+    rot = poses.rot[model.sphere_link_ids]  # (S, 3, 3)
+    trans = poses.trans[model.sphere_link_ids]  # (S, 3)
+    return (rot @ model.sphere_centers[..., None])[..., 0] + trans

@@ -1,0 +1,141 @@
+"""SDF lookup tests: exact-cell and fractional-cell interpolation values,
+gradients of the interpolant, out-of-range masking.
+
+Mirrors /root/reference/gpmp2/obstacle/tests/testPlanarSDF.cpp and
+testSignedDistanceField.cpp (hand-built in-memory grids, no data files)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmp2_tpu.obstacle.factors import hinge_loss
+from gpmp2_tpu.obstacle.sdf import (
+    PlanarSDF,
+    SignedDistanceField,
+    planar_sdf_lookup,
+    sdf_lookup,
+)
+
+
+def make_planar():
+    # 4x5 field (rows x cols), origin (-1, -2), cell 0.5
+    r = np.random.default_rng(0)
+    data = r.normal(size=(4, 5))
+    return PlanarSDF(
+        origin=jnp.asarray([-1.0, -2.0]),
+        cell_size=jnp.asarray(0.5),
+        data=jnp.asarray(data),
+    ), data
+
+
+def make_3d():
+    r = np.random.default_rng(1)
+    data = r.normal(size=(3, 4, 5))  # (z, rows, cols)
+    return SignedDistanceField(
+        origin=jnp.asarray([-1.0, -2.0, 0.5]),
+        cell_size=jnp.asarray(0.5),
+        data=jnp.asarray(data),
+    ), data
+
+
+class TestPlanar:
+    def test_exact_cell(self):
+        sdf, data = make_planar()
+        # cell (row 2, col 3): world (x, y) = origin + (3, 2)*cell
+        pt = jnp.asarray([-1.0 + 3 * 0.5, -2.0 + 2 * 0.5])
+        d, g, ok = planar_sdf_lookup(sdf, pt)
+        assert bool(ok)
+        np.testing.assert_allclose(float(d), data[2, 3], atol=1e-12)
+
+    def test_bilinear_fractional(self):
+        sdf, data = make_planar()
+        # halfway between 4 cells (rows 1-2, cols 2-3)
+        pt = jnp.asarray([-1.0 + 2.5 * 0.5, -2.0 + 1.5 * 0.5])
+        d, g, ok = planar_sdf_lookup(sdf, pt)
+        expect = 0.25 * (data[1, 2] + data[1, 3] + data[2, 2] + data[2, 3])
+        np.testing.assert_allclose(float(d), expect, atol=1e-12)
+
+    def test_gradient_matches_ad(self):
+        """The returned analytic gradient equals AD through the lookup."""
+        sdf, _ = make_planar()
+        pt = jnp.asarray([-0.3, -0.8])
+
+        def dist(p):
+            return planar_sdf_lookup(sdf, p)[0]
+
+        g_ad = jax.grad(dist)(pt)
+        _, g, _ = planar_sdf_lookup(sdf, pt)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), atol=1e-10)
+
+    def test_out_of_range(self):
+        sdf, _ = make_planar()
+        for pt in ([-1.1, -2.0], [10.0, 0.0], [0.0, -2.5], [0.0, 5.0]):
+            _, _, ok = planar_sdf_lookup(sdf, jnp.asarray(pt))
+            assert not bool(ok)
+        # boundary point is in range (reference uses <= on the far edge)
+        _, _, ok = planar_sdf_lookup(sdf, jnp.asarray([-1.0 + 4 * 0.5, -2.0 + 3 * 0.5]))
+        assert bool(ok)
+
+    def test_batched(self):
+        sdf, data = make_planar()
+        pts = jnp.asarray([[-1.0, -2.0], [-0.5, -2.0], [99.0, 99.0]])
+        d, g, ok = planar_sdf_lookup(sdf, pts)
+        assert d.shape == (3,) and g.shape == (3, 2) and ok.shape == (3,)
+        np.testing.assert_allclose(np.asarray(d[:2]), [data[0, 0], data[0, 1]], atol=1e-12)
+        assert not bool(ok[2])
+
+
+class Test3D:
+    def test_exact_cell(self):
+        sdf, data = make_3d()
+        # cell (z=1, row=2, col=3)
+        pt = jnp.asarray([-1.0 + 3 * 0.5, -2.0 + 2 * 0.5, 0.5 + 1 * 0.5])
+        d, g, ok = sdf_lookup(sdf, pt)
+        assert bool(ok)
+        np.testing.assert_allclose(float(d), data[1, 2, 3], atol=1e-12)
+
+    def test_trilinear_fractional(self):
+        sdf, data = make_3d()
+        pt = jnp.asarray([-1.0 + 2.5 * 0.5, -2.0 + 1.5 * 0.5, 0.5 + 0.5 * 0.5])
+        d, _, _ = sdf_lookup(sdf, pt)
+        expect = data[0:2, 1:3, 2:4].mean()
+        np.testing.assert_allclose(float(d), expect, atol=1e-12)
+
+    def test_gradient_matches_ad(self):
+        sdf, _ = make_3d()
+        pt = jnp.asarray([-0.3, -0.8, 0.9])
+
+        def dist(p):
+            return sdf_lookup(sdf, p)[0]
+
+        g_ad = jax.grad(dist)(pt)
+        _, g, _ = sdf_lookup(sdf, pt)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), atol=1e-10)
+
+    def test_out_of_range_zero_cost(self):
+        """Out-of-range => cost 0, grad 0 (ObstacleCost.h:31-38)."""
+        sdf, _ = make_3d()
+        pt = jnp.asarray([100.0, 0.0, 0.0])
+
+        def cost(p):
+            d, _, ok = sdf_lookup(sdf, p)
+            return jnp.sum(hinge_loss(d, 1.0, ok))
+
+        assert float(cost(pt)) == 0.0
+        np.testing.assert_allclose(np.asarray(jax.grad(cost)(pt)), np.zeros(3), atol=0)
+
+
+class TestHinge:
+    def test_hinge_values_and_grad(self):
+        """err = eps - d for d <= eps (boundary included), else 0
+        (ObstacleCost.h:41-49)."""
+        d = jnp.asarray([-0.5, 0.0, 0.19, 0.2, 0.2000001, 1.0])
+        err = hinge_loss(d, 0.2, jnp.ones_like(d, dtype=bool))
+        np.testing.assert_allclose(
+            np.asarray(err), [0.7, 0.2, 0.01, 0.0, 0.0, 0.0], atol=1e-9
+        )
+
+        g = jax.grad(lambda x: hinge_loss(x, 0.2, jnp.asarray(True)))(jnp.asarray(0.1))
+        assert float(g) == -1.0
+        g0 = jax.grad(lambda x: hinge_loss(x, 0.2, jnp.asarray(True)))(jnp.asarray(0.5))
+        assert float(g0) == 0.0
