@@ -1,0 +1,27 @@
+"""Robot kinematics (reference: /root/reference/gpmp2/kinematics)."""
+
+from .fk import (
+    ArmFK,
+    PointRobotFK,
+    Pose2Mobile2ArmsFK,
+    Pose2MobileArmFK,
+    Pose2MobileBaseFK,
+    Pose2MobileVetLin2ArmsFK,
+    Pose2MobileVetLinArmFK,
+    arm_link_velocities,
+    base_pose3,
+    dof_of,
+    link_poses,
+    num_links_of,
+    state_space_of,
+)
+from .robot import RobotModel, make_robot_model
+from .robot import sphere_centers_world
+
+__all__ = [
+    "ArmFK", "PointRobotFK", "Pose2MobileBaseFK", "Pose2MobileArmFK",
+    "Pose2Mobile2ArmsFK", "Pose2MobileVetLinArmFK", "Pose2MobileVetLin2ArmsFK",
+    "link_poses", "arm_link_velocities", "base_pose3", "dof_of",
+    "num_links_of", "state_space_of", "RobotModel", "make_robot_model",
+    "sphere_centers_world",
+]

@@ -1,0 +1,5 @@
+"""Device-mesh scale-out (no reference analog; SURVEY.md section 2.11)."""
+
+from .mesh import batch_sharding, make_mesh, replicate, shard_problems
+
+__all__ = ["make_mesh", "shard_problems", "batch_sharding", "replicate"]

@@ -1,0 +1,30 @@
+"""Top-level planner API (reference: /root/reference/gpmp2/planner)."""
+
+from .batch import (
+    batch_traj_optimize,
+    collision_cost_batch,
+    infer_batch_axes,
+    make_problem,
+    optimizer_params_from_setting,
+    plan_batch,
+)
+from .problem import Trajectory, TrajProblem, collision_cost, traj_error, traj_linearize
+from .settings import TrajOptimizerSetting
+from .traj_utils import init_traj_straight_line, interpolate_traj
+
+__all__ = [
+    "batch_traj_optimize",
+    "plan_batch",
+    "make_problem",
+    "collision_cost_batch",
+    "optimizer_params_from_setting",
+    "Trajectory",
+    "TrajProblem",
+    "collision_cost",
+    "traj_error",
+    "traj_linearize",
+    "TrajOptimizerSetting",
+    "init_traj_straight_line",
+    "interpolate_traj",
+    "infer_batch_axes",
+]

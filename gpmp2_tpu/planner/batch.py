@@ -1,0 +1,249 @@
+"""Batch trajectory optimization: the top-level planner API.
+
+TPU-native port of /root/reference/gpmp2/planner/BatchTrajOptimizer.{h,cpp}.
+The reference's 7 per-robot-family entry points (BatchTrajOptimize2DArm,
+3DArm, Pose2MobileArm2D, Pose2MobileArm, Pose2Mobile2Arms,
+Pose2MobileVetLinArm, Pose2MobileVetLin2Arms — BatchTrajOptimizer.cpp:40-128)
+collapse into ONE generic `batch_traj_optimize(robot, sdf, ...)`: the robot
+family is carried by the RobotModel pytree and the SDF type (PlanarSDF vs
+SignedDistanceField) selects the 2D/3D obstacle kernel.
+
+Unlike the reference (one problem per call), the core entry point is
+batched: give it B start/goal pairs (and optionally B SDF worlds / margins)
+and the whole batch optimizes in one jitted program — vmap over problems
+with shared (unbatched) robot/SDF leaves broadcast instead of materialized,
+one lax.while_loop to joint convergence with per-problem masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kinematics.robot import RobotModel
+from ..obstacle.sdf import PlanarSDF
+from ..solver.optimize import OptimizerParams, OptResult, optimize_batch
+from .problem import Trajectory, TrajProblem, collision_cost, traj_error, traj_linearize
+from .settings import TrajOptimizerSetting
+from .traj_utils import init_traj_straight_line
+
+__all__ = [
+    "make_problem",
+    "infer_batch_axes",
+    "batch_traj_optimize",
+    "plan_batch",
+    "collision_cost_batch",
+    "optimizer_params_from_setting",
+]
+
+
+def make_problem(
+    robot: RobotModel,
+    sdf,
+    start_pose,
+    start_vel,
+    end_pose,
+    end_vel,
+    setting: TrajOptimizerSetting,
+    *,
+    num_extra: int = 0,
+    flag_vehicle_dynamics: bool = False,
+    dyn_sigma: float = 1e-3,
+    goal_region: bool = False,
+    goal_point=None,
+    goal_sigma: float = 1e-3,
+    dtype=None,
+) -> TrajProblem:
+    """Build a TrajProblem from a reference-style setting.
+
+    Graph recipe of BatchTrajOptimizer-inl.h:19-84: delta_t = total_time /
+    total_step; interpolated obstacle factors at tau_j = j * delta_t /
+    (obs_check_inter + 1), j = 1..obs_check_inter.
+
+    start/end arrays may carry a leading batch axis; all other leaves stay
+    unbatched (use `infer_batch_axes` + `plan_batch`)."""
+    space = robot.space
+    d = space.dim
+    if dtype is None:
+        dtype = jnp.asarray(start_pose).dtype
+        if dtype not in (jnp.float32, jnp.float64):
+            dtype = jnp.float32
+    f = lambda x: jnp.asarray(x, dtype)
+
+    def f_float(x):
+        """Cast float leaves to the compute dtype; leave integer leaves
+        (e.g. sphere link ids) untouched."""
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    dt = setting.total_time / setting.total_step
+    inter = setting.obs_check_inter
+    taus = (jnp.arange(1, inter + 1, dtype=dtype)) * (dt / (inter + 1))
+
+    P = space.storage_dim
+    K = num_extra
+    return TrajProblem(
+        robot=jax.tree_util.tree_map(f_float, robot),
+        sdf=jax.tree_util.tree_map(f_float, sdf),
+        dt=f(dt),
+        Qc=f(setting.Qc),
+        start_pose=f(start_pose),
+        start_vel=f(start_vel),
+        end_pose=f(end_pose),
+        end_vel=f(end_vel),
+        pose_prior_w=f(1.0 / setting.conf_prior_sigma**2) * jnp.ones(d, dtype),
+        vel_prior_w=f(1.0 / setting.vel_prior_sigma**2) * jnp.ones(d, dtype),
+        obs_w=f(1.0 / setting.cost_sigma**2),
+        eps=f(setting.epsilon),
+        taus=taus,
+        pos_lim_down=f(setting.joint_pos_limits_down),
+        pos_lim_up=f(setting.joint_pos_limits_up),
+        pos_lim_thresh=f(setting.pos_limit_thresh),
+        pos_lim_w=f(1.0 / setting.pos_limit_sigma**2),
+        vel_lim=f(setting.vel_limits),
+        vel_lim_thresh=f(setting.vel_limit_thresh),
+        vel_lim_w=f(1.0 / setting.vel_limit_sigma**2),
+        dyn_w=f(1.0 / dyn_sigma**2),
+        goal_point=f(goal_point if goal_point is not None else jnp.zeros(3)),
+        goal_w=f(1.0 / goal_sigma**2),
+        extra_idx=jnp.zeros((K,), jnp.int32),
+        extra_pose=jnp.zeros((K, P), dtype),
+        extra_vel=jnp.zeros((K, d), dtype),
+        extra_pose_w=jnp.zeros((K, d), dtype),
+        extra_vel_w=jnp.zeros((K, d), dtype),
+        N=setting.total_step,
+        planar=isinstance(sdf, PlanarSDF),
+        flag_pos_limit=setting.flag_pos_limit,
+        flag_vel_limit=setting.flag_vel_limit,
+        flag_vehicle_dynamics=flag_vehicle_dynamics,
+        goal_region=goal_region,
+        num_extra=K,
+    )
+
+
+def infer_batch_axes(problems: TrajProblem, template: TrajProblem):
+    """vmap in_axes pytree: 0 where a leaf has one more axis than in
+    `template` (an unbatched problem), None (broadcast) elsewhere."""
+
+    def ax(b, t):
+        return 0 if jnp.ndim(b) == jnp.ndim(t) + 1 else None
+
+    return jax.tree_util.tree_map(ax, problems, template)
+
+
+def optimizer_params_from_setting(setting: TrajOptimizerSetting) -> OptimizerParams:
+    return OptimizerParams(
+        method=setting.opt_type,
+        max_iter=setting.max_iter,
+        rel_thresh=setting.rel_thresh,
+        iter_no_increase=setting.final_iter_no_increase,
+    )
+
+
+def _retract_traj(space, traj: Trajectory, delta) -> Trajectory:
+    """Apply tangent update delta (B, n, 2d) to a batched trajectory."""
+    d = space.dim
+    pose = jax.vmap(jax.vmap(space.retract))(traj.pose, delta[..., :d])
+    vel = traj.vel + delta[..., d:]
+    return Trajectory(pose, vel)
+
+
+def plan_batch(problems: TrajProblem, init_traj: Trajectory,
+               params: OptimizerParams, problem_axes=None) -> OptResult:
+    """Optimize a batch of problems. `problem_axes` is a vmap in_axes
+    pytree over `problems` (0 = per-problem leaf, None = shared); defaults
+    to all-shared-except-start/goal via rank inference against start_pose.
+    Jit-friendly; the heart of the framework."""
+    space = problems.space
+    if problem_axes is None:
+        # default: batch exactly the leaves with a leading batch axis equal
+        # to start_pose's batch size; detect by rank against a canonical
+        # single problem obtained from slicing start_pose.
+        raise ValueError(
+            "plan_batch requires problem_axes; use infer_batch_axes or "
+            "batch_traj_optimize"
+        )
+
+    linearize_fn = jax.vmap(traj_linearize, in_axes=(problem_axes, 0))
+    error_fn = jax.vmap(traj_error, in_axes=(problem_axes, 0))
+
+    def lin(traj):
+        return linearize_fn(problems, traj)
+
+    def err(traj):
+        return error_fn(problems, traj)
+
+    retract = partial(_retract_traj, space)
+    return optimize_batch(lin, err, retract, init_traj, params)
+
+
+def batch_traj_optimize(
+    robot: RobotModel,
+    sdf,
+    start_pose,
+    start_vel,
+    end_pose,
+    end_vel,
+    setting: TrajOptimizerSetting,
+    init_traj: Optional[Trajectory] = None,
+    **problem_kwargs,
+):
+    """Single- or multi-problem planner entry point.
+
+    If start/end carry a leading batch axis (ndim 2), the whole batch is
+    planned jointly (robot and SDF shared/broadcast); otherwise a batch of
+    1 is planned and unbatched results returned. Returns OptResult.
+
+    Mirrors BatchTrajOptimize<...> (BatchTrajOptimizer-inl.h:19-84) +
+    optimize() (BatchTrajOptimizer.cpp:212-308); init defaults to the
+    straight-line initialization of TrajUtils.cpp:25-50.
+    """
+    start_pose = jnp.asarray(start_pose)
+    start_vel = jnp.asarray(start_vel)
+    end_pose = jnp.asarray(end_pose)
+    end_vel = jnp.asarray(end_vel)
+    batched = start_pose.ndim == 2
+    space = robot.space
+    params = optimizer_params_from_setting(setting)
+
+    if not batched:
+        start_pose, start_vel = start_pose[None], start_vel[None]
+        end_pose, end_vel = end_pose[None], end_vel[None]
+        if init_traj is not None:
+            init_traj = Trajectory(init_traj.pose[None], init_traj.vel[None])
+
+    probs = make_problem(
+        robot, sdf, start_pose, start_vel, end_pose, end_vel, setting,
+        **problem_kwargs,
+    )
+    template = make_problem(
+        robot, sdf, start_pose[0], start_vel[0], end_pose[0], end_vel[0],
+        setting, **problem_kwargs,
+    )
+    axes = infer_batch_axes(probs, template)
+
+    if init_traj is None:
+        init_traj = jax.vmap(
+            lambda sp, ep: init_traj_straight_line(
+                space, sp, ep, setting.total_step, setting.total_time
+            )
+        )(probs.start_pose, probs.end_pose)
+
+    res = plan_batch(probs, init_traj, params, axes)
+    if batched:
+        return res
+    return OptResult(
+        Trajectory(res.traj.pose[0], res.traj.vel[0]),
+        res.error[0], res.iterations[0], res.converged[0],
+    )
+
+
+def collision_cost_batch(problems: TrajProblem, traj: Trajectory,
+                         problem_axes=None):
+    """Batched CollisionCost metric (BatchTrajOptimizer-inl.h:87-100)."""
+    if problem_axes is None:
+        return jax.vmap(collision_cost)(problems, traj.pose)
+    return jax.vmap(collision_cost, in_axes=(problem_axes, 0))(problems, traj.pose)

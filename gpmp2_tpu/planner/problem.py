@@ -1,0 +1,490 @@
+"""Trajectory optimization problem: the structure-of-arrays factor program.
+
+This is the TPU-native replacement for the reference's graph assembly
+(/root/reference/gpmp2/planner/BatchTrajOptimizer-inl.h:19-84). The same
+recipe — start/goal priors, optional joint/velocity-limit factors, an
+obstacle factor per support state, obs_check_inter GP-interpolated obstacle
+factors per interval, and a GP prior per interval — but instead of a bag of
+virtual-dispatch factors, each factor *type* is one batched residual kernel
+evaluated across the whole trajectory at once, and the normal equations are
+accumulated directly into block-tridiagonal (H_diag, H_off, b) form.
+
+State layout: n = total_step+1 support states; z_i = [pose tangent, vel]
+(m = 2*dof). The Markov structure of the graph guarantees only adjacent
+states couple, so H is exactly block-tridiagonal (SURVEY.md section 7).
+
+Extension slots beyond the reference recipe:
+  - `extra_*` per-state priors (weight-masked): the mechanism behind the
+    iSAM2-style incremental replanner (fixConfigAndVel / addStateEstimate,
+    ISAM2TrajOptimizer-inl.h:162-195) — factor add/remove becomes weight
+    masking so the jitted program shape never changes.
+  - vehicle-dynamics factor flag (VehicleDynamics.h:19-40), applied at
+    every state for mobile robots.
+  - goal_region mode: replaces the end-config prior with an end-effector
+    workspace goal (GoalFactorArm.h:26-102).
+
+All fields are arrays -> a TrajProblem vmaps over a problem batch (leading
+axis on every data leaf, including SDF data for per-problem worlds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.statespace import StateSpace
+from ..gp.gputils import calc_lambda, calc_psi, calc_Q_inv
+from ..gp.interpolator import InterpCoeffs, interpolate_pose
+from ..gp.prior import gp_prior_error, gp_prior_jacobians_linear
+from ..kinematics.robot import RobotModel, sphere_centers_world
+from ..obstacle.factors import (
+    obstacle_factor_error,
+    obstacle_planar_factor_error,
+)
+from ..obstacle.sdf import PlanarSDF
+from ..solver.linearize import (jtwj_diag, jtwj_full, jtwr_diag, jtwr_full,
+                                quad_err_diag, quad_err_full)
+
+__all__ = ["Trajectory", "TrajProblem", "traj_error", "traj_linearize",
+           "collision_cost"]
+
+
+class Trajectory(NamedTuple):
+    """Support states: pose (n, P) storage layout, vel (n, d)."""
+
+    pose: jnp.ndarray
+    vel: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TrajProblem:
+    """One planning problem (vmappable pytree; meta fields are static)."""
+
+    # data
+    robot: RobotModel
+    sdf: object  # PlanarSDF | SignedDistanceField
+    dt: jnp.ndarray  # () delta_t = total_time / total_step
+    Qc: jnp.ndarray  # (d, d) GP power-spectral-density covariance
+    start_pose: jnp.ndarray  # (P,)
+    start_vel: jnp.ndarray  # (d,)
+    end_pose: jnp.ndarray  # (P,)
+    end_vel: jnp.ndarray  # (d,)
+    pose_prior_w: jnp.ndarray  # (d,) precision diag
+    vel_prior_w: jnp.ndarray  # (d,)
+    obs_w: jnp.ndarray  # () precision 1/cost_sigma^2
+    eps: jnp.ndarray  # () obstacle safety margin
+    taus: jnp.ndarray  # (inter,) interpolation offsets within an interval
+    # joint limits (used iff flags set)
+    pos_lim_down: jnp.ndarray  # (d,)
+    pos_lim_up: jnp.ndarray  # (d,)
+    pos_lim_thresh: jnp.ndarray  # (d,)
+    pos_lim_w: jnp.ndarray  # (d,)
+    vel_lim: jnp.ndarray  # (d,)
+    vel_lim_thresh: jnp.ndarray  # (d,)
+    vel_lim_w: jnp.ndarray  # (d,)
+    # extension: vehicle dynamics weight (used iff flag set)
+    dyn_w: jnp.ndarray  # ()
+    # extension: workspace goal (used iff goal_region set)
+    goal_point: jnp.ndarray  # (3,)
+    goal_w: jnp.ndarray  # ()
+    # extension: K weight-masked per-state prior slots (replanning)
+    extra_idx: jnp.ndarray  # (K,) int32
+    extra_pose: jnp.ndarray  # (K, P)
+    extra_vel: jnp.ndarray  # (K, d)
+    extra_pose_w: jnp.ndarray  # (K, d)
+    extra_vel_w: jnp.ndarray  # (K, d)
+    # meta (static)
+    N: int = 10  # total_step: number of intervals
+    planar: bool = False
+    flag_pos_limit: bool = False
+    flag_vel_limit: bool = False
+    flag_vehicle_dynamics: bool = False
+    goal_region: bool = False  # workspace goal instead of end-config prior
+    num_extra: int = 0
+
+    @property
+    def space(self) -> StateSpace:
+        return self.robot.space
+
+
+jax.tree_util.register_dataclass(
+    TrajProblem,
+    data_fields=[
+        "robot", "sdf", "dt", "Qc", "start_pose", "start_vel", "end_pose",
+        "end_vel", "pose_prior_w", "vel_prior_w", "obs_w", "eps", "taus",
+        "pos_lim_down", "pos_lim_up", "pos_lim_thresh", "pos_lim_w",
+        "vel_lim", "vel_lim_thresh", "vel_lim_w", "dyn_w",
+        "goal_point", "goal_w",
+        "extra_idx", "extra_pose", "extra_vel", "extra_pose_w", "extra_vel_w",
+    ],
+    meta_fields=["N", "planar", "flag_pos_limit", "flag_vel_limit",
+                 "flag_vehicle_dynamics", "goal_region", "num_extra"],
+)
+
+
+# --------------------------------------------------------------------------
+# residual kernels (shared by error-only and linearize paths)
+# --------------------------------------------------------------------------
+
+
+def _obs_res(prob: TrajProblem, pose):
+    if prob.planar:
+        return obstacle_planar_factor_error(prob.robot, prob.sdf, pose, prob.eps)
+    return obstacle_factor_error(prob.robot, prob.sdf, pose, prob.eps)
+
+
+def _hinge(p, down, up, thresh):
+    """Double-sided hinge (JointLimitCost.h:16-32)."""
+    lo = down + thresh
+    hi = up - thresh
+    return jnp.where(p < lo, lo - p, jnp.where(p <= hi, jnp.zeros_like(p), p - hi))
+
+
+def _limit_mask(space: StateSpace, dtype):
+    """Pose2Vector joint-limit factors zero the first 3 (SE(2)) dims
+    (JointLimitFactorPose2Vector.h:66-91)."""
+    if space.kind == "se2_vector":
+        return jnp.concatenate(
+            [jnp.zeros(3, dtype), jnp.ones(space.dim - 3, dtype)]
+        )
+    return jnp.ones(space.dim, dtype)
+
+
+def _pos_limit_res(prob: TrajProblem, pose):
+    """Joint position limit residual (d,). Only meaningful for vector /
+    se2_vector spaces; the hinge runs on the storage coordinates, matching
+    JointLimitFactorVector.h:63-79 (and the +3 offset variant)."""
+    space = prob.space
+    mask = _limit_mask(space, pose.dtype)
+    return mask * _hinge(pose, prob.pos_lim_down, prob.pos_lim_up, prob.pos_lim_thresh)
+
+
+def _vel_limit_res(prob: TrajProblem, vel):
+    """Symmetric velocity limit (VelocityLimitFactorVector.h:62-78)."""
+    return _hinge(vel, -prob.vel_lim, prob.vel_lim, prob.vel_lim_thresh)
+
+
+def _dyn_res(prob: TrajProblem, pose, vel):
+    """Planar vehicle dynamics residual, shape (1,).
+
+    se2 / se2_vector states: body-frame velocity => err = v_y
+    (VehicleDynamics.h:19-27). vector states (d>=3, [x, y, theta, ...]):
+    world-frame => err = v_y cos(theta) - v_x sin(theta)
+    (VehicleDynamics.h:31-40)."""
+    if prob.space.kind in ("se2", "se2_vector"):
+        return vel[1:2]
+    th = pose[2]
+    return (vel[1] * jnp.cos(th) - vel[0] * jnp.sin(th))[None]
+
+
+def _goal_res(prob: TrajProblem, pose):
+    """Workspace goal residual: end-effector position - goal
+    (GoalFactorArm.h:58-77). End-effector = last link frame origin."""
+    from ..kinematics.fk import link_poses
+
+    ee = link_poses(prob.robot.fk, pose).trans[-1]
+    return ee - prob.goal_point
+
+
+def _interp_coeffs_all(prob: TrajProblem):
+    """Lambda/Psi for every tau: (inter, 2d, 2d) each."""
+    lam = jax.vmap(lambda t: calc_lambda(prob.Qc, prob.dt, t))(prob.taus)
+    psi = jax.vmap(lambda t: calc_psi(prob.Qc, prob.dt, t))(prob.taus)
+    return lam, psi
+
+
+def _prior_res(space: StateSpace, mean, x):
+    """Prior residual local(mean, x) (gtsam PriorFactor semantics)."""
+    return space.local(mean, x)
+
+
+# --------------------------------------------------------------------------
+# error-only path (LM/dogleg accept test; cheap, no Jacobians)
+# --------------------------------------------------------------------------
+
+
+def traj_error(prob: TrajProblem, traj: Trajectory):
+    """Total graph error, 0.5 * sum of whitened squared residuals —
+    matching gtsam::NonlinearFactorGraph::error on the same graph."""
+    space = prob.space
+    pose, vel = traj.pose, traj.vel
+    err = jnp.zeros((), pose.dtype)
+
+    # boundary priors
+    err += quad_err_diag(prob.pose_prior_w, _prior_res(space, prob.start_pose, pose[0]))
+    err += quad_err_diag(prob.vel_prior_w, vel[0] - prob.start_vel)
+    if prob.goal_region:
+        err += quad_err_diag(prob.goal_w, _goal_res(prob, pose[prob.N]))
+    else:
+        err += quad_err_diag(prob.pose_prior_w, _prior_res(space, prob.end_pose, pose[prob.N]))
+        err += quad_err_diag(prob.vel_prior_w, vel[prob.N] - prob.end_vel)
+
+    # GP prior per interval
+    W_gp = calc_Q_inv(prob.Qc, prob.dt)
+    gp_r = jax.vmap(
+        lambda p1, v1, p2, v2: gp_prior_error(space, p1, v1, p2, v2, prob.dt)
+    )(pose[:-1], vel[:-1], pose[1:], vel[1:])
+    err += quad_err_full(W_gp, gp_r)
+
+    # obstacle factors at support states
+    obs_r = jax.vmap(lambda p: _obs_res(prob, p))(pose)
+    err += quad_err_diag(prob.obs_w, obs_r)
+
+    # GP-interpolated obstacle factors
+    if prob.taus.shape[0] > 0:
+        lam, psi = _interp_coeffs_all(prob)
+
+        def interval(p1, v1, p2, v2):
+            def at_tau(l, ps):
+                pt = interpolate_pose(space, InterpCoeffs(l, ps), p1, v1, p2, v2)
+                return _obs_res(prob, pt)
+
+            return jax.vmap(at_tau)(lam, psi)
+
+        rs = jax.vmap(interval)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+        err += quad_err_diag(prob.obs_w, rs)
+
+    if prob.flag_pos_limit:
+        r = jax.vmap(lambda p: _pos_limit_res(prob, p))(pose)
+        err += quad_err_diag(prob.pos_lim_w, r)
+    if prob.flag_vel_limit:
+        r = jax.vmap(lambda v: _vel_limit_res(prob, v))(vel)
+        err += quad_err_diag(prob.vel_lim_w, r)
+    if prob.flag_vehicle_dynamics:
+        r = jax.vmap(lambda p, v: _dyn_res(prob, p, v))(pose, vel)
+        err += quad_err_diag(prob.dyn_w, r)
+
+    if prob.num_extra > 0:
+        rp = jax.vmap(lambda mean, x: _prior_res(space, mean, x))(
+            prob.extra_pose, pose[prob.extra_idx]
+        )
+        rv = vel[prob.extra_idx] - prob.extra_vel
+        err += quad_err_diag(prob.extra_pose_w, rp)
+        err += quad_err_diag(prob.extra_vel_w, rv)
+
+    return err
+
+
+# --------------------------------------------------------------------------
+# linearization -> block-tridiagonal normal equations
+# --------------------------------------------------------------------------
+
+
+def _jac_unary_pose(space: StateSpace, res_fn, poses):
+    """vmapped (residual, Jacobian-wrt-pose-tangent) for a pose-only factor."""
+    d = space.dim
+
+    def one(p):
+        def f(dp):
+            r = res_fn(space.retract(p, dp))
+            return r, r
+
+        J, r = jax.jacfwd(f, has_aux=True)(jnp.zeros(d, p.dtype))
+        return r, J
+
+    return jax.vmap(one)(poses)
+
+
+def traj_linearize(prob: TrajProblem, traj: Trajectory):
+    """Build (H_diag (n,m,m), H_off (n-1,m,m), b (n,m), error ()).
+
+    H = J^T W J (Gauss-Newton), b = -J^T W r, error = 0.5 r^T W r.
+    """
+    space = prob.space
+    d = space.dim
+    n = prob.N + 1
+    m = 2 * d
+    pose, vel = traj.pose, traj.vel
+    dtype = pose.dtype
+
+    H_diag = jnp.zeros((n, m, m), dtype)
+    H_off = jnp.zeros((n - 1, m, m), dtype)
+    b = jnp.zeros((n, m), dtype)
+    err = jnp.zeros((), dtype)
+
+    def add_unary_pose(H_diag, b, err, idx, r, J, W):
+        """r: (..., R), J: (..., R, d) wrt pose tangent; idx int or array."""
+        err = err + quad_err_diag(W, r)
+        H_pp = jtwj_diag(J, W, J)
+        g_p = jtwr_diag(J, W, r)
+        H_diag = H_diag.at[idx, :d, :d].add(H_pp)
+        b = b.at[idx, :d].add(-g_p)
+        return H_diag, b, err
+
+    def add_unary_vel(H_diag, b, err, idx, r, J, W):
+        err = err + quad_err_diag(W, r)
+        H_vv = jtwj_diag(J, W, J)
+        g_v = jtwr_diag(J, W, r)
+        H_diag = H_diag.at[idx, d:, d:].add(H_vv)
+        b = b.at[idx, d:].add(-g_v)
+        return H_diag, b, err
+
+    # ---- boundary priors ------------------------------------------------
+    def prior_pose_rj(mean, p):
+        def f(dp):
+            r = _prior_res(space, mean, space.retract(p, dp))
+            return r, r
+
+        return jax.jacfwd(f, has_aux=True)(jnp.zeros(d, dtype))
+
+    J0, r0 = prior_pose_rj(prob.start_pose, pose[0])
+    H_diag, b, err = add_unary_pose(H_diag, b, err, 0, r0, J0, prob.pose_prior_w)
+    rv0 = vel[0] - prob.start_vel
+    H_diag, b, err = add_unary_vel(
+        H_diag, b, err, 0, rv0, jnp.eye(d, dtype=dtype), prob.vel_prior_w
+    )
+    if prob.goal_region:
+        def fg(dp):
+            r = _goal_res(prob, space.retract(pose[prob.N], dp))
+            return r, r
+
+        Jg, rg = jax.jacfwd(fg, has_aux=True)(jnp.zeros(d, dtype))
+        H_diag, b, err = add_unary_pose(H_diag, b, err, prob.N, rg, Jg, prob.goal_w)
+    else:
+        JN, rN = prior_pose_rj(prob.end_pose, pose[prob.N])
+        H_diag, b, err = add_unary_pose(H_diag, b, err, prob.N, rN, JN, prob.pose_prior_w)
+        rvN = vel[prob.N] - prob.end_vel
+        H_diag, b, err = add_unary_vel(
+            H_diag, b, err, prob.N, rvN, jnp.eye(d, dtype=dtype), prob.vel_prior_w
+        )
+
+    # ---- GP prior per interval -----------------------------------------
+    W_gp = calc_Q_inv(prob.Qc, prob.dt)
+    if space.is_vector:
+        gp_r = jax.vmap(
+            lambda p1, v1, p2, v2: gp_prior_error(space, p1, v1, p2, v2, prob.dt)
+        )(pose[:-1], vel[:-1], pose[1:], vel[1:])
+        H1, H2 = gp_prior_jacobians_linear(d, prob.dt, dtype)
+        J1 = jnp.broadcast_to(H1, (n - 1, m, m))
+        J2 = jnp.broadcast_to(H2, (n - 1, m, m))
+    else:
+        def gp_rj(p1, v1, p2, v2):
+            def f(dz):
+                r = gp_prior_error(
+                    space,
+                    space.retract(p1, dz[:d]), v1 + dz[d : 2 * d],
+                    space.retract(p2, dz[2 * d : 3 * d]), v2 + dz[3 * d :],
+                    prob.dt,
+                )
+                return r, r
+
+            J, r = jax.jacfwd(f, has_aux=True)(jnp.zeros(2 * m, dtype))
+            return r, J[:, :m], J[:, m:]
+
+        gp_r, J1, J2 = jax.vmap(gp_rj)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+
+    err = err + quad_err_full(W_gp, gp_r)
+    H_diag = H_diag.at[:-1].add(jtwj_full(J1, W_gp, J1))
+    H_diag = H_diag.at[1:].add(jtwj_full(J2, W_gp, J2))
+    H_off = H_off + jtwj_full(J1, W_gp, J2)
+    b = b.at[:-1].add(-jtwr_full(J1, W_gp, gp_r))
+    b = b.at[1:].add(-jtwr_full(J2, W_gp, gp_r))
+
+    # ---- obstacle factors at support states ----------------------------
+    obs_r, obs_J = _jac_unary_pose(space, lambda p: _obs_res(prob, p), pose)
+    H_diag, b, err = add_unary_pose(
+        H_diag, b, err, jnp.arange(n), obs_r, obs_J, prob.obs_w
+    )
+
+    # ---- GP-interpolated obstacle factors ------------------------------
+    if prob.taus.shape[0] > 0:
+        lam, psi = _interp_coeffs_all(prob)
+
+        def interval_rj(p1, v1, p2, v2):
+            def at_tau(l, ps):
+                def f(dz):
+                    pt = interpolate_pose(
+                        space, InterpCoeffs(l, ps),
+                        space.retract(p1, dz[:d]), v1 + dz[d : 2 * d],
+                        space.retract(p2, dz[2 * d : 3 * d]), v2 + dz[3 * d :],
+                    )
+                    r = _obs_res(prob, pt)
+                    return r, r
+
+                J, r = jax.jacfwd(f, has_aux=True)(jnp.zeros(2 * m, dtype))
+                return r, J
+
+            return jax.vmap(at_tau)(lam, psi)
+
+        rs, Js = jax.vmap(interval_rj)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+        # rs: (n-1, T, S); Js: (n-1, T, S, 2m)
+        err = err + quad_err_diag(prob.obs_w, rs)
+        Jz1 = Js[..., :m]  # (n-1, T, S, m)
+        Jz2 = Js[..., m:]
+        # sum over taus T and spheres S
+        W = prob.obs_w
+        H_diag = H_diag.at[:-1].add(
+            W * jnp.einsum("itsm,itsn->imn", Jz1, Jz1)
+        )
+        H_diag = H_diag.at[1:].add(W * jnp.einsum("itsm,itsn->imn", Jz2, Jz2))
+        H_off = H_off + W * jnp.einsum("itsm,itsn->imn", Jz1, Jz2)
+        b = b.at[:-1].add(-W * jnp.einsum("itsm,its->im", Jz1, rs))
+        b = b.at[1:].add(-W * jnp.einsum("itsm,its->im", Jz2, rs))
+
+    # ---- joint / velocity limits ---------------------------------------
+    if prob.flag_pos_limit:
+        lr, lJ = _jac_unary_pose(space, lambda p: _pos_limit_res(prob, p), pose)
+        H_diag, b, err = add_unary_pose(
+            H_diag, b, err, jnp.arange(n), lr, lJ, prob.pos_lim_w
+        )
+    if prob.flag_vel_limit:
+        def vl_rj(v):
+            def f(dv):
+                r = _vel_limit_res(prob, v + dv)
+                return r, r
+
+            return jax.jacfwd(f, has_aux=True)(jnp.zeros(d, dtype))
+
+        vJ, vr = jax.vmap(vl_rj)(vel)
+        H_diag, b, err = add_unary_vel(
+            H_diag, b, err, jnp.arange(n), vr, vJ, prob.vel_lim_w
+        )
+
+    # ---- vehicle dynamics ----------------------------------------------
+    if prob.flag_vehicle_dynamics:
+        def dyn_rj(p, v):
+            def f(dz):
+                r = _dyn_res(prob, space.retract(p, dz[:d]), v + dz[d:])
+                return r, r
+
+            return jax.jacfwd(f, has_aux=True)(jnp.zeros(m, dtype))
+
+        dJ, dr = jax.vmap(dyn_rj)(pose, vel)  # (n, 1, m), (n, 1)
+        err = err + quad_err_diag(prob.dyn_w, dr)
+        H_diag = H_diag + jtwj_diag(dJ, prob.dyn_w, dJ)
+        b = b - jtwr_diag(dJ, prob.dyn_w, dr)
+
+    # ---- extra (replanning) prior slots --------------------------------
+    if prob.num_extra > 0:
+        def ep_rj(mean, p):
+            def f(dp):
+                r = _prior_res(space, mean, space.retract(p, dp))
+                return r, r
+
+            return jax.jacfwd(f, has_aux=True)(jnp.zeros(d, dtype))
+
+        eJ, er = jax.vmap(ep_rj)(prob.extra_pose, pose[prob.extra_idx])
+        err = err + quad_err_diag(prob.extra_pose_w, er)
+        H_diag = H_diag.at[prob.extra_idx, :d, :d].add(jtwj_diag(eJ, prob.extra_pose_w, eJ))
+        b = b.at[prob.extra_idx, :d].add(-jtwr_diag(eJ, prob.extra_pose_w, er))
+
+        ev = vel[prob.extra_idx] - prob.extra_vel
+        err = err + quad_err_diag(prob.extra_vel_w, ev)
+        eyeK = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (prob.num_extra, d, d))
+        H_diag = H_diag.at[prob.extra_idx, d:, d:].add(
+            jtwj_diag(eyeK, prob.extra_vel_w, eyeK)
+        )
+        b = b.at[prob.extra_idx, d:].add(-jtwr_diag(eyeK, prob.extra_vel_w, ev))
+
+    return H_diag, H_off, b, err
+
+
+def collision_cost(prob: TrajProblem, poses):
+    """Sum of raw (unwhitened, eps=0) obstacle errors over given poses —
+    the reference's trajectory-quality metric
+    (BatchTrajOptimizer-inl.h:87-100)."""
+    prob0 = dataclasses.replace(prob, eps=jnp.zeros_like(prob.eps))
+    return jnp.sum(jax.vmap(lambda p: _obs_res(prob0, p))(poses))

@@ -1,0 +1,156 @@
+"""Block-tridiagonal solver and batched optimizer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmp2_tpu.solver.blocktridiag import block_tridiag_solve
+from gpmp2_tpu.solver.optimize import OptimizerParams, optimize_batch
+
+
+def random_block_tridiag(rng, n, m, cond_boost=0.0):
+    """Random SPD block-tridiagonal system (dense reference assembled too)."""
+    A = rng.normal(size=(n * m, n * m))
+    H_dense = A @ A.T + (n * m + cond_boost) * np.eye(n * m)
+    # zero out everything beyond the block tridiagonal
+    for i in range(n):
+        for j in range(n):
+            if abs(i - j) > 1:
+                H_dense[i * m : (i + 1) * m, j * m : (j + 1) * m] = 0.0
+    D = np.stack([H_dense[i * m : (i + 1) * m, i * m : (i + 1) * m] for i in range(n)])
+    U = np.stack(
+        [H_dense[i * m : (i + 1) * m, (i + 1) * m : (i + 2) * m] for i in range(n - 1)]
+    )
+    b = rng.normal(size=(n, m))
+    return H_dense, D, U, b
+
+
+class TestBlockTridiag:
+    def test_matches_dense_solve(self):
+        rng = np.random.default_rng(0)
+        n, m = 7, 4
+        H, D, U, b = random_block_tridiag(rng, n, m)
+        x = block_tridiag_solve(jnp.asarray(D), jnp.asarray(U), jnp.asarray(b))
+        x_dense = np.linalg.solve(H, b.reshape(-1)).reshape(n, m)
+        np.testing.assert_allclose(np.asarray(x), x_dense, atol=1e-9)
+
+    def test_no_scaling_matches(self):
+        rng = np.random.default_rng(1)
+        n, m = 5, 3
+        H, D, U, b = random_block_tridiag(rng, n, m)
+        x = block_tridiag_solve(
+            jnp.asarray(D), jnp.asarray(U), jnp.asarray(b), jacobi_scaling=False
+        )
+        x_dense = np.linalg.solve(H, b.reshape(-1)).reshape(n, m)
+        np.testing.assert_allclose(np.asarray(x), x_dense, atol=1e-9)
+
+    def test_single_block(self):
+        rng = np.random.default_rng(2)
+        m = 4
+        A = rng.normal(size=(m, m))
+        D = (A @ A.T + m * np.eye(m))[None]
+        b = rng.normal(size=(1, m))
+        x = block_tridiag_solve(
+            jnp.asarray(D), jnp.zeros((0, m, m)), jnp.asarray(b)
+        )
+        np.testing.assert_allclose(np.asarray(x[0]), np.linalg.solve(D[0], b[0]), atol=1e-10)
+
+    def test_batched_vmap(self):
+        rng = np.random.default_rng(3)
+        n, m, B = 6, 3, 4
+        Ds, Us, bs, xs_expect = [], [], [], []
+        for _ in range(B):
+            H, D, U, b = random_block_tridiag(rng, n, m)
+            Ds.append(D)
+            Us.append(U)
+            bs.append(b)
+            xs_expect.append(np.linalg.solve(H, b.reshape(-1)).reshape(n, m))
+        xs = jax.vmap(block_tridiag_solve)(
+            jnp.asarray(Ds), jnp.asarray(Us), jnp.asarray(bs)
+        )
+        np.testing.assert_allclose(np.asarray(xs), np.stack(xs_expect), atol=1e-8)
+
+    def test_ill_conditioned_prior_scale(self):
+        """Mix of 1e8 (prior) and 1e2 (obstacle) precisions: Jacobi scaling
+        keeps the solve accurate — the float32/TPU-critical case."""
+        rng = np.random.default_rng(4)
+        n, m = 5, 4
+        H, D, U, b = random_block_tridiag(rng, n, m)
+        D[0] += 1e8 * np.eye(m)
+        D[-1] += 1e8 * np.eye(m)
+        Hd = H.copy()
+        Hd[:m, :m] += 1e8 * np.eye(m)
+        Hd[-m:, -m:] += 1e8 * np.eye(m)
+        x = block_tridiag_solve(jnp.asarray(D), jnp.asarray(U), jnp.asarray(b))
+        x_dense = np.linalg.solve(Hd, b.reshape(-1)).reshape(n, m)
+        np.testing.assert_allclose(np.asarray(x), x_dense, rtol=1e-6, atol=1e-10)
+
+
+class TestOptimizer:
+    """Optimize tiny quadratic/nonlinear problems through the generic
+    batched optimizer using a dense->block wrapper."""
+
+    def _setup_quadratic(self, B=3, n=4, m=2, seed=0):
+        """Problem: min 0.5 sum ((x - target)^2) with a smoothness coupling:
+        r_i = x_i - t_i (unary), r'_i = x_{i+1} - x_i (binary)."""
+        rng = np.random.default_rng(seed)
+        targets = jnp.asarray(rng.normal(size=(B, n, m)))
+
+        def error_fn(x):
+            unary = 0.5 * jnp.sum((x - targets) ** 2, axis=(1, 2))
+            smooth = 0.5 * jnp.sum((x[:, 1:] - x[:, :-1]) ** 2, axis=(1, 2))
+            return unary + smooth
+
+        def linearize_fn(x):
+            B_, n_, m_ = x.shape
+            eye = jnp.eye(m_)
+            H_diag = jnp.zeros((B_, n_, m_, m_)) + eye  # unary
+            # smoothness contributions
+            H_diag = H_diag.at[:, :-1].add(eye)
+            H_diag = H_diag.at[:, 1:].add(eye)
+            H_off = jnp.broadcast_to(-eye, (B_, n_ - 1, m_, m_))
+            r_u = x - targets
+            r_s = x[:, 1:] - x[:, :-1]
+            b = -r_u
+            b = b.at[:, :-1].add(r_s)
+            b = b.at[:, 1:].add(-r_s)
+            return H_diag, H_off, b, error_fn(x)
+
+        def retract_fn(x, delta):
+            return x + delta
+
+        x0 = jnp.zeros((B, n, m))
+        return linearize_fn, error_fn, retract_fn, x0, targets
+
+    def test_gn_one_step_exact(self):
+        lin, err, ret, x0, targets = self._setup_quadratic()
+        res = optimize_batch(lin, err, ret, x0, OptimizerParams(method="gaussnewton"))
+        # quadratic: GN converges in one step to the global optimum
+        g = jax.grad(lambda x: jnp.sum(err(x)))(res.traj)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-9)
+        assert bool(jnp.all(res.converged))
+        assert int(jnp.max(res.iterations)) <= 2
+
+    def test_lm_reaches_same_optimum(self):
+        lin, err, ret, x0, targets = self._setup_quadratic()
+        res = optimize_batch(
+            lin, err, ret, x0,
+            OptimizerParams(method="lm", rel_thresh=1e-10, abs_thresh=1e-12, max_iter=100),
+        )
+        g = jax.grad(lambda x: jnp.sum(err(x)))(res.traj)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+    def test_dogleg_reaches_same_optimum(self):
+        lin, err, ret, x0, targets = self._setup_quadratic()
+        res = optimize_batch(
+            lin, err, ret, x0,
+            OptimizerParams(method="dogleg", rel_thresh=1e-10, abs_thresh=1e-12,
+                            max_iter=100),
+        )
+        g = jax.grad(lambda x: jnp.sum(err(x)))(res.traj)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+    def test_error_never_increases_lm(self):
+        lin, err, ret, x0, _ = self._setup_quadratic(seed=5)
+        res = optimize_batch(lin, err, ret, x0, OptimizerParams(method="lm"))
+        assert bool(jnp.all(res.error <= err(x0) + 1e-12))
