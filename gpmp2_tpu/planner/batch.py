@@ -96,6 +96,8 @@ def make_problem(
         end_vel=f(end_vel),
         pose_prior_w=f(1.0 / setting.conf_prior_sigma**2) * jnp.ones(d, dtype),
         vel_prior_w=f(1.0 / setting.vel_prior_sigma**2) * jnp.ones(d, dtype),
+        goal_pose_w=f(1.0 / setting.conf_prior_sigma**2) * jnp.ones(d, dtype),
+        goal_vel_w=f(1.0 / setting.vel_prior_sigma**2) * jnp.ones(d, dtype),
         obs_w=f(1.0 / setting.cost_sigma**2),
         eps=f(setting.epsilon),
         taus=taus,

@@ -72,8 +72,10 @@ class TrajProblem:
     start_vel: jnp.ndarray  # (d,)
     end_pose: jnp.ndarray  # (P,)
     end_vel: jnp.ndarray  # (d,)
-    pose_prior_w: jnp.ndarray  # (d,) precision diag
+    pose_prior_w: jnp.ndarray  # (d,) precision diag (start prior)
     vel_prior_w: jnp.ndarray  # (d,)
+    goal_pose_w: jnp.ndarray  # (d,) precision diag (goal prior; zero = removed)
+    goal_vel_w: jnp.ndarray  # (d,)
     obs_w: jnp.ndarray  # () precision 1/cost_sigma^2
     eps: jnp.ndarray  # () obstacle safety margin
     taus: jnp.ndarray  # (inter,) interpolation offsets within an interval
@@ -114,7 +116,8 @@ jax.tree_util.register_dataclass(
     TrajProblem,
     data_fields=[
         "robot", "sdf", "dt", "Qc", "start_pose", "start_vel", "end_pose",
-        "end_vel", "pose_prior_w", "vel_prior_w", "obs_w", "eps", "taus",
+        "end_vel", "pose_prior_w", "vel_prior_w", "goal_pose_w",
+        "goal_vel_w", "obs_w", "eps", "taus",
         "pos_lim_down", "pos_lim_up", "pos_lim_thresh", "pos_lim_w",
         "vel_lim", "vel_lim_thresh", "vel_lim_w", "dyn_w",
         "goal_point", "goal_w",
@@ -219,8 +222,8 @@ def traj_error(prob: TrajProblem, traj: Trajectory):
     if prob.goal_region:
         err += quad_err_diag(prob.goal_w, _goal_res(prob, pose[prob.N]))
     else:
-        err += quad_err_diag(prob.pose_prior_w, _prior_res(space, prob.end_pose, pose[prob.N]))
-        err += quad_err_diag(prob.vel_prior_w, vel[prob.N] - prob.end_vel)
+        err += quad_err_diag(prob.goal_pose_w, _prior_res(space, prob.end_pose, pose[prob.N]))
+        err += quad_err_diag(prob.goal_vel_w, vel[prob.N] - prob.end_vel)
 
     # GP prior per interval
     W_gp = calc_Q_inv(prob.Qc, prob.dt)
@@ -345,10 +348,10 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
         H_diag, b, err = add_unary_pose(H_diag, b, err, prob.N, rg, Jg, prob.goal_w)
     else:
         JN, rN = prior_pose_rj(prob.end_pose, pose[prob.N])
-        H_diag, b, err = add_unary_pose(H_diag, b, err, prob.N, rN, JN, prob.pose_prior_w)
+        H_diag, b, err = add_unary_pose(H_diag, b, err, prob.N, rN, JN, prob.goal_pose_w)
         rvN = vel[prob.N] - prob.end_vel
         H_diag, b, err = add_unary_vel(
-            H_diag, b, err, prob.N, rvN, jnp.eye(d, dtype=dtype), prob.vel_prior_w
+            H_diag, b, err, prob.N, rvN, jnp.eye(d, dtype=dtype), prob.goal_vel_w
         )
 
     # ---- GP prior per interval -----------------------------------------

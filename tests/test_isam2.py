@@ -1,0 +1,141 @@
+"""Incremental replanner tests, mirroring the reference's replanning flow
+(WAMReplannerExample / doc/ExampleReplanning.md: batch solve -> iSAM2 init
+-> fix executed state -> change goal -> update) with parity checked against
+a fresh batch re-solve (SURVEY.md hard part 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpmp2_tpu.kinematics.fk import PointRobotFK
+from gpmp2_tpu.kinematics.robot import make_robot_model
+from gpmp2_tpu.obstacle.sdf import PlanarSDF
+from gpmp2_tpu.planner import TrajOptimizerSetting, batch_traj_optimize
+from gpmp2_tpu.planner.isam2 import ISAM2TrajOptimizer
+
+
+def _world():
+    ys = -1.5 + 3.0 / 95 * np.arange(96)
+    X, Y = np.meshgrid(ys, ys)
+    dist = np.sqrt(X**2 + (Y - 0.12) ** 2) - 0.3
+    sdf = PlanarSDF(
+        origin=jnp.asarray([-1.5, -1.5]), cell_size=jnp.asarray(3.0 / 95),
+        data=jnp.asarray(dist),
+    )
+    robot = make_robot_model(PointRobotFK(), [(0, 0.05, (0.0, 0.0, 0.0))],
+                             dtype=jnp.float64)
+    setting = TrajOptimizerSetting(
+        dof=2, total_step=10, total_time=5.0, obs_check_inter=3,
+        opt_type="lm", max_iter=100, rel_thresh=1e-6, Qc=np.eye(2),
+    )
+    return robot, sdf, setting
+
+
+class TestISAM2:
+    def test_replanning_session(self):
+        robot, sdf, setting = _world()
+        start = jnp.asarray([-0.8, 0.0])
+        goal = jnp.asarray([0.8, 0.0])
+        zero = jnp.zeros(2)
+
+        # batch phase
+        res = batch_traj_optimize(robot, sdf, start, zero, goal, zero, setting)
+
+        # incremental phase
+        opt = ISAM2TrajOptimizer(robot, sdf, setting)
+        opt.init_factor_graph(start, zero, goal, zero)
+        opt.init_values(res.traj)
+        opt.update()
+        base = opt.values()
+        # warm-started update on the already-solved problem barely moves it
+        np.testing.assert_allclose(
+            np.asarray(base.pose), np.asarray(res.traj.pose), atol=1e-4
+        )
+
+        # robot executed up to state 3: fix it, then change the goal
+        executed_pose = base.pose[3]
+        executed_vel = base.vel[3]
+        opt.fix_config_and_vel(3, executed_pose, executed_vel)
+        new_goal = jnp.asarray([0.8, 0.4])
+        opt.change_goal_config_and_vel(new_goal, zero)
+        opt.update()
+        replanned = opt.values()
+
+        # fixed state stays pinned; new goal reached
+        np.testing.assert_allclose(
+            np.asarray(replanned.pose[3]), np.asarray(executed_pose), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(replanned.pose[-1]), np.asarray(new_goal), atol=1e-3
+        )
+
+    def test_remove_goal(self):
+        robot, sdf, setting = _world()
+        start = jnp.asarray([-0.8, 0.0])
+        goal = jnp.asarray([0.8, 0.0])
+        zero = jnp.zeros(2)
+        res = batch_traj_optimize(robot, sdf, start, zero, goal, zero, setting)
+
+        opt = ISAM2TrajOptimizer(robot, sdf, setting)
+        opt.init_factor_graph(start, zero, goal, zero)
+        opt.init_values(res.traj)
+        opt.remove_goal_config_and_vel()
+        opt.update()
+        freed = opt.values()
+        # without the goal prior the end drifts from the old goal toward
+        # the GP-smooth continuation; start stays pinned
+        np.testing.assert_allclose(
+            np.asarray(freed.pose[0]), np.asarray(start), atol=1e-3
+        )
+
+    def test_parity_with_batch_resolve(self):
+        """Replanned solution matches a cold batch solve of the equivalent
+        modified problem (goal changed) — the reference's parity bar.
+
+        The new goal stays on the same side of the obstacle as the warm
+        path: warm and cold solves then land in the same homotopy basin
+        (opposite-side goals legitimately produce different local optima,
+        exactly as the reference's local optimizer would)."""
+        robot, sdf, setting = _world()
+        start = jnp.asarray([-0.8, 0.0])
+        goal = jnp.asarray([0.8, 0.0])
+        new_goal = jnp.asarray([0.8, -0.35])
+        zero = jnp.zeros(2)
+        res = batch_traj_optimize(robot, sdf, start, zero, goal, zero, setting)
+
+        opt = ISAM2TrajOptimizer(robot, sdf, setting)
+        opt.init_factor_graph(start, zero, goal, zero)
+        opt.init_values(res.traj)
+        opt.change_goal_config_and_vel(new_goal, zero)
+        opt.update()
+        inc = opt.values()
+
+        fresh = batch_traj_optimize(robot, sdf, start, zero, new_goal, zero, setting)
+        # same basin -> same optimum within optimizer tolerance; the graph
+        # error (the north-star metric) agrees to < 1%
+        np.testing.assert_allclose(
+            np.asarray(inc.pose), np.asarray(fresh.traj.pose), atol=2e-2
+        )
+        from gpmp2_tpu.planner import make_problem, traj_error
+
+        prob = make_problem(robot, sdf, start, zero, new_goal, zero, setting)
+        e_inc = float(traj_error(prob, inc))
+        e_fresh = float(fresh.error)
+        assert abs(e_inc - e_fresh) <= 0.01 * max(e_fresh, 1e-12), (e_inc, e_fresh)
+
+    def test_add_state_estimate(self):
+        robot, sdf, setting = _world()
+        start = jnp.asarray([-0.8, 0.0])
+        goal = jnp.asarray([0.8, 0.0])
+        zero = jnp.zeros(2)
+        res = batch_traj_optimize(robot, sdf, start, zero, goal, zero, setting)
+        opt = ISAM2TrajOptimizer(robot, sdf, setting)
+        opt.init_factor_graph(start, zero, goal, zero)
+        opt.init_values(res.traj)
+        measured = jnp.asarray([-0.55, -0.25])
+        opt.add_state_estimate(2, measured, 1e-6 * np.eye(2),
+                               jnp.asarray([0.3, 0.0]), 1e-6 * np.eye(2))
+        opt.update()
+        pulled = opt.values()
+        np.testing.assert_allclose(
+            np.asarray(pulled.pose[2]), np.asarray(measured), atol=1e-2
+        )
