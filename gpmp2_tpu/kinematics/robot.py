@@ -72,3 +72,55 @@ def sphere_centers_world(model: RobotModel, q):
     rot = poses.rot[model.sphere_link_ids]  # (S, 3, 3)
     trans = poses.trans[model.sphere_link_ids]  # (S, 3)
     return (rot @ model.sphere_centers[..., None])[..., 0] + trans
+
+
+def sphere_centers_and_jac(model: RobotModel, q):
+    """Sphere centers (S, 3) plus the analytic position Jacobian (S, 3, d)
+    wrt the configuration tangent.
+
+    For revolute DH arms this is the geometric Jacobian
+    dp/dtheta_j = z_j x (p - o_j) for j <= link (the reference computes the
+    same quantity through its dHo_dq caches, Arm.cpp:85-115 +
+    RobotModel-inl.h:28-39); one FK pass instead of dof+1 under AD — the
+    hot-path form for the obstacle factors. Families without an analytic
+    path fall back to jacfwd.
+    """
+    import jax
+
+    fk = model.fk
+    d = model.dof
+
+    if isinstance(fk, fk_mod.PointRobotFK):
+        centers = sphere_centers_world(model, q)
+        S = model.num_spheres
+        J = jnp.zeros((S, 3, 2), q.dtype)
+        J = J.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
+        return centers, J
+
+    if isinstance(fk, fk_mod.ArmFK):
+        poses = fk_mod.link_poses(fk, q)
+        rot = poses.rot[model.sphere_link_ids]
+        trans = poses.trans[model.sphere_link_ids]
+        centers = (rot @ model.sphere_centers[..., None])[..., 0] + trans  # (S,3)
+
+        # joint j rotates about the z axis of the frame BEFORE it: base for
+        # j = 0, link frame j-1 otherwise.
+        base = fk.base_pose
+        frame_rots = jnp.concatenate([base.rot[None], poses.rot[:-1]], axis=0)
+        frame_trans = jnp.concatenate([base.trans[None], poses.trans[:-1]], axis=0)
+        z_axes = frame_rots[..., :, 2]  # (d, 3)
+        # dp/dtheta_j = z_j x (p - o_j), masked to j <= sphere link id
+        rel = centers[:, None, :] - frame_trans[None, :, :]  # (S, d, 3)
+        crosses = jnp.cross(z_axes[None, :, :], rel)  # (S, d, 3)
+        jmask = (
+            jnp.arange(d)[None, :] <= model.sphere_link_ids[:, None]
+        )  # (S, d)
+        J = jnp.where(jmask[..., None], crosses, 0.0)  # (S, d, 3)
+        return centers, jnp.swapaxes(J, -1, -2)  # (S, 3, d)
+
+    # generic fallback: AD through the FK composition
+    def f(qq):
+        return sphere_centers_world(model, qq)
+
+    J = jax.jacfwd(f)(q)
+    return f(q), J

@@ -139,6 +139,34 @@ def _obs_res(prob: TrajProblem, pose):
     return obstacle_factor_error(prob.robot, prob.sdf, pose, prob.eps)
 
 
+def _obs_res_and_jac(prob: TrajProblem, conf):
+    """Analytic obstacle residual + Jacobian wrt configuration: (S,), (S, d).
+
+    hinge error = eps_total - d(p) on active spheres; J = -grad_sdf @
+    J_center (the reference's row-wise chain rule,
+    ObstacleSDFFactor-inl.h:40-57), with out-of-range and inactive rows
+    zeroed (ObstacleCost.h:31-49)."""
+    from ..kinematics.robot import sphere_centers_and_jac
+    from ..obstacle.sdf import planar_sdf_lookup, sdf_lookup
+
+    centers, Jc = sphere_centers_and_jac(prob.robot, conf)  # (S,3), (S,3,d)
+    eps_total = prob.robot.sphere_radii + prob.eps
+    if prob.planar:
+        dist, grad, ok = planar_sdf_lookup(prob.sdf, centers[..., :2])
+        Jc_eff = Jc[:, :2, :]  # (S, 2, d)
+    else:
+        dist, grad, ok = sdf_lookup(prob.sdf, centers)
+        Jc_eff = Jc
+    active = ok & (dist <= eps_total)
+    r = jnp.where(active, eps_total - dist, 0.0)
+    J = jnp.where(
+        active[:, None],
+        -jnp.einsum("sk,skd->sd", grad, Jc_eff),
+        0.0,
+    )
+    return r, J
+
+
 def _hinge(p, down, up, thresh):
     """Double-sided hinge (JointLimitCost.h:16-32)."""
     lo = down + thresh
@@ -387,7 +415,11 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
     b = b.at[1:].add(-jtwr_full(J2, W_gp, gp_r))
 
     # ---- obstacle factors at support states ----------------------------
-    obs_r, obs_J = _jac_unary_pose(space, lambda p: _obs_res(prob, p), pose)
+    if space.is_vector:
+        # analytic path: 1 FK pass + geometric Jacobian per state
+        obs_r, obs_J = jax.vmap(lambda p: _obs_res_and_jac(prob, p))(pose)
+    else:
+        obs_r, obs_J = _jac_unary_pose(space, lambda p: _obs_res(prob, p), pose)
     H_diag, b, err = add_unary_pose(
         H_diag, b, err, jnp.arange(n), obs_r, obs_J, prob.obs_w
     )
@@ -396,27 +428,50 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
     if prob.taus.shape[0] > 0:
         lam, psi = _interp_coeffs_all(prob)
 
-        def interval_rj(p1, v1, p2, v2):
-            def at_tau(l, ps):
-                def f(dz):
-                    pt = interpolate_pose(
-                        space, InterpCoeffs(l, ps),
-                        space.retract(p1, dz[:d]), v1 + dz[d : 2 * d],
-                        space.retract(p2, dz[2 * d : 3 * d]), v2 + dz[3 * d :],
-                    )
-                    r = _obs_res(prob, pt)
-                    return r, r
+        if space.is_vector:
+            # conf(tau) = Lam[:d] [x1;v1] + Psi[:d] [x2;v2] with CONSTANT
+            # coefficient blocks per tau -> chain rule is one matmul
+            # (reference updatePoseJacobians,
+            # GaussianProcessInterpolatorLinear.h:88-96).
+            lam_p = lam[:, :d, :]  # (T, d, 2d)
+            psi_p = psi[:, :d, :]
 
-                J, r = jax.jacfwd(f, has_aux=True)(jnp.zeros(2 * m, dtype))
-                return r, J
+            def conf_at(p1, v1, p2, v2):
+                s1 = jnp.concatenate([p1, v1], axis=-1)
+                s2 = jnp.concatenate([p2, v2], axis=-1)
+                return (
+                    jnp.einsum("tde,e->td", lam_p, s1)
+                    + jnp.einsum("tde,e->td", psi_p, s2)
+                )  # (T, d)
 
-            return jax.vmap(at_tau)(lam, psi)
+            confs = jax.vmap(conf_at)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+            rs, Jconf = jax.vmap(jax.vmap(lambda c: _obs_res_and_jac(prob, c)))(
+                confs
+            )  # (n-1, T, S), (n-1, T, S, d)
+            Jz1 = jnp.einsum("itsd,tde->itse", Jconf, lam_p)  # (n-1,T,S,2d)
+            Jz2 = jnp.einsum("itsd,tde->itse", Jconf, psi_p)
+        else:
+            def interval_rj(p1, v1, p2, v2):
+                def at_tau(l, ps):
+                    def f(dz):
+                        pt = interpolate_pose(
+                            space, InterpCoeffs(l, ps),
+                            space.retract(p1, dz[:d]), v1 + dz[d : 2 * d],
+                            space.retract(p2, dz[2 * d : 3 * d]), v2 + dz[3 * d :],
+                        )
+                        r = _obs_res(prob, pt)
+                        return r, r
 
-        rs, Js = jax.vmap(interval_rj)(pose[:-1], vel[:-1], pose[1:], vel[1:])
-        # rs: (n-1, T, S); Js: (n-1, T, S, 2m)
+                    J, r = jax.jacfwd(f, has_aux=True)(jnp.zeros(2 * m, dtype))
+                    return r, J
+
+                return jax.vmap(at_tau)(lam, psi)
+
+            rs, Js = jax.vmap(interval_rj)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+            Jz1 = Js[..., :m]  # (n-1, T, S, m)
+            Jz2 = Js[..., m:]
+
         err = err + quad_err_diag(prob.obs_w, rs)
-        Jz1 = Js[..., :m]  # (n-1, T, S, m)
-        Jz2 = Js[..., m:]
         # sum over taus T and spheres S
         W = prob.obs_w
         H_diag = H_diag.at[:-1].add(

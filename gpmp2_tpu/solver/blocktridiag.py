@@ -37,11 +37,25 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .smallmat import chol_solve_unrolled, cholesky_unrolled
+
 __all__ = ["block_tridiag_solve", "block_tridiag_chol"]
 
+# beyond this block size the unrolled batch-major kernels stop paying off
+# and XLA's native routines take over
+_UNROLL_LIMIT = 48
 
-def _chol_solve(L, rhs):
+
+def _chol(C, m):
+    if m <= _UNROLL_LIMIT:
+        return cholesky_unrolled(C)
+    return jnp.linalg.cholesky(C)
+
+
+def _chol_solve(L, rhs, m):
     """Solve (L L^T) x = rhs for rhs of shape (m,) or (m, k)."""
+    if m <= _UNROLL_LIMIT:
+        return chol_solve_unrolled(L, rhs)
     y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
@@ -63,9 +77,9 @@ def block_tridiag_chol(D, U, b):
         D_i, U_i, b_i = inp
         C_i = D_i - P_C
         z_i = b_i - P_z
-        L_i = jnp.linalg.cholesky(C_i)
-        w_i = _chol_solve(L_i, z_i)
-        G_i = _chol_solve(L_i, U_i)
+        L_i = _chol(C_i, m)
+        w_i = _chol_solve(L_i, z_i, m)
+        G_i = _chol_solve(L_i, U_i, m)
         carry = (U_i.T @ G_i, U_i.T @ w_i)
         return carry, (w_i, G_i)
 

@@ -1,0 +1,105 @@
+"""Analytic sphere/obstacle Jacobians vs AD (the hot-path kernels)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmp2_tpu.kinematics.fk import ArmFK, PointRobotFK
+from gpmp2_tpu.kinematics.robot import (
+    make_robot_model,
+    sphere_centers_and_jac,
+    sphere_centers_world,
+)
+from gpmp2_tpu.obstacle.sdf import PlanarSDF, SignedDistanceField
+from gpmp2_tpu.planner import TrajOptimizerSetting, make_problem
+from gpmp2_tpu.planner.problem import _obs_res, _obs_res_and_jac
+from gpmp2_tpu.robots import generate_arm
+
+
+class TestSphereJacobian:
+    def test_arm_analytic_vs_ad(self):
+        wam = generate_arm("WAMArm", dtype=jnp.float64)
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            q = jnp.asarray(rng.normal(size=7))
+            c, J = sphere_centers_and_jac(wam, q)
+            c_ad = sphere_centers_world(wam, q)
+            J_ad = jax.jacfwd(lambda qq: sphere_centers_world(wam, qq))(q)
+            np.testing.assert_allclose(np.asarray(c), np.asarray(c_ad), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-10)
+
+    def test_arm_with_base_pose(self):
+        from gpmp2_tpu.geometry import so3
+        from gpmp2_tpu.geometry.se3 import Pose3
+
+        base = Pose3(so3.ypr(0.7, -0.2, 0.4), jnp.asarray([1.0, -2.0, 0.5]))
+        arm = ArmFK.create([0.5, 0.4, 0.3], [0.1, -0.2, 0.3], [0.0, 0.2, 0.0],
+                           theta_bias=[0.1, 0.0, -0.4], base_pose=base,
+                           dtype=jnp.float64)
+        model = make_robot_model(
+            arm, [(0, 0.05, (0.1, 0.2, 0.0)), (2, 0.05, (-0.1, 0.0, 0.3))],
+            dtype=jnp.float64,
+        )
+        q = jnp.asarray([0.3, -0.5, 1.1])
+        c, J = sphere_centers_and_jac(model, q)
+        J_ad = jax.jacfwd(lambda qq: sphere_centers_world(model, qq))(q)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-10)
+
+    def test_point_robot(self):
+        model = make_robot_model(PointRobotFK(), [(0, 0.1, (0.0, 0.0, 0.0))],
+                                 dtype=jnp.float64)
+        q = jnp.asarray([0.3, -0.6])
+        c, J = sphere_centers_and_jac(model, q)
+        J_ad = jax.jacfwd(lambda qq: sphere_centers_world(model, qq))(q)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-12)
+
+
+class TestObstacleJacobian:
+    def _sdf3d(self):
+        rng = np.random.default_rng(1)
+        # smooth random field so gradients are informative
+        from scipy.ndimage import gaussian_filter
+
+        data = gaussian_filter(rng.normal(size=(24, 24, 24)), 3) * 5
+        return SignedDistanceField(
+            origin=jnp.asarray([-1.2, -1.2, -1.2]),
+            cell_size=jnp.asarray(0.1),
+            data=jnp.asarray(data),
+        )
+
+    def test_obstacle_jac_matches_ad_3d(self):
+        wam = generate_arm("WAMArm", dtype=jnp.float64)
+        sdf = self._sdf3d()
+        setting = TrajOptimizerSetting(dof=7, cost_sigma=0.02, epsilon=0.2)
+        zero = jnp.zeros(7, jnp.float64)
+        prob = make_problem(wam, sdf, zero, zero, zero, zero, setting,
+                            dtype=jnp.float64)
+        rng = np.random.default_rng(2)
+        for _ in range(3):
+            q = jnp.asarray(0.5 * rng.normal(size=7))
+            r, J = _obs_res_and_jac(prob, q)
+            r_ref = _obs_res(prob, q)
+            J_ad = jax.jacfwd(lambda qq: _obs_res(prob, qq))(q)
+            np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-9)
+
+    def test_obstacle_jac_matches_ad_planar(self):
+        arm = generate_arm("SimpleTwoLinksArm", dtype=jnp.float64)
+        rng = np.random.default_rng(3)
+        from scipy.ndimage import gaussian_filter
+
+        data = gaussian_filter(rng.normal(size=(48, 48)), 4) * 3
+        sdf = PlanarSDF(
+            origin=jnp.asarray([-1.5, -1.5]), cell_size=jnp.asarray(0.0625),
+            data=jnp.asarray(data),
+        )
+        setting = TrajOptimizerSetting(dof=2, cost_sigma=0.1, epsilon=0.2)
+        zero = jnp.zeros(2, jnp.float64)
+        prob = make_problem(arm, sdf, zero, zero, zero, zero, setting,
+                            dtype=jnp.float64)
+        for _ in range(3):
+            q = jnp.asarray(rng.normal(size=2))
+            r, J = _obs_res_and_jac(prob, q)
+            J_ad = jax.jacfwd(lambda qq: _obs_res(prob, qq))(q)
+            np.testing.assert_allclose(np.asarray(r), np.asarray(_obs_res(prob, q)), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-9)
