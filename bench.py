@@ -1,13 +1,17 @@
 """Headline benchmark: WAM 7-DOF converged plans/sec on one TPU chip.
 
 Config mirrors the canonical WAM benchmark (BASELINE.md /
-matlab/WAMPlannerExample.m:13-66): 7-DOF WAM, 3D SDF world, total_time 2 s,
-total_step 10, obs_check_inter 9 (100 collision-checked states per
-trajectory), cost_sigma 0.02, epsilon 0.2, Qc = I, prior sigma 1e-4, LM.
+matlab/WAMPlannerExample.m:13-66): 7-DOF WAM, the WAMDeskDataset 3D world
+(300^3 occupancy -> EDT SDF), total_time 2 s, total_step 10,
+obs_check_inter 9 (100 collision-checked states per trajectory),
+cost_sigma 0.02, epsilon 0.2, Qc = I, prior sigma 1e-4, LM with the
+reference's lambda schedule to convergence (rel 1e-2).
 
-Protocol: B randomized start/goal problems batched into one jitted LM solve
-(to per-problem convergence), timed over R repeats after compile warm-up.
-plans/sec = converged plans / wall-clock second.
+Protocol: B randomized start/goal problems (small perturbations of the
+example's start/goal configs) batched into ONE jitted LM solve, timed
+submit -> host materialization of results (this tunnel's async dispatch
+makes any other timing untrustworthy), best of R repeats after a compile
+warm-up.
 
 Baseline denominator: the reference repo publishes no numbers (BASELINE.md);
 GTSAM C++ GPMP2 solves this class of problem in tens of ms single-threaded
@@ -17,6 +21,7 @@ wall-clock anchor, so vs_baseline = plans_per_sec / 20.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -31,7 +36,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gpmp2_tpu.obstacle.sdf import SignedDistanceField
+    from gpmp2_tpu.datasets import generate_3d_dataset, sdf_from_occupancy
     from gpmp2_tpu.planner import TrajOptimizerSetting, make_problem
     from gpmp2_tpu.planner.batch import (
         infer_batch_axes,
@@ -43,38 +48,14 @@ def main():
     from gpmp2_tpu.robots import generate_arm
 
     B = int(os.environ.get("BENCH_BATCH", "1024"))
-    REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+    LOOP = os.environ.get("BENCH_LOOP", "dynamic")
     dtype = jnp.float32
 
     robot = generate_arm("WAMArm", dtype=dtype)
 
-    # WAMDeskDataset-like world: a desk-ish box + a ball, analytic SDF
-    grid = 64
-    cell = 2.4 / (grid - 1)
-    origin = np.array([-1.2, -1.2, -0.4])
-    zs = origin[2] + cell * np.arange(grid)
-    ys = origin[1] + cell * np.arange(grid)
-    xs = origin[0] + cell * np.arange(grid)
-    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
-    ball = np.sqrt((X - 0.45) ** 2 + Y**2 + (Z - 0.6) ** 2) - 0.2
-
-    def box_sdf(X, Y, Z, c, h):
-        qx = np.abs(X - c[0]) - h[0]
-        qy = np.abs(Y - c[1]) - h[1]
-        qz = np.abs(Z - c[2]) - h[2]
-        outside = np.sqrt(
-            np.maximum(qx, 0) ** 2 + np.maximum(qy, 0) ** 2 + np.maximum(qz, 0) ** 2
-        )
-        inside = np.minimum(np.maximum(qx, np.maximum(qy, qz)), 0.0)
-        return outside + inside
-
-    desk = box_sdf(X, Y, Z, c=(0.6, 0.0, 0.1), h=(0.3, 0.5, 0.05))
-    dist = np.minimum(ball, desk)
-    sdf = SignedDistanceField(
-        origin=jnp.asarray(origin, dtype),
-        cell_size=jnp.asarray(cell, dtype),
-        data=jnp.asarray(dist, dtype),
-    )
+    ds = generate_3d_dataset("WAMDeskDataset")
+    sdf = sdf_from_occupancy(ds.origin, ds.cell_size, ds.map, dtype=dtype)
 
     setting = TrajOptimizerSetting(
         dof=7, total_step=10, total_time=2.0, epsilon=0.2, cost_sigma=0.02,
@@ -82,11 +63,35 @@ def main():
         Qc=np.eye(7),
     )
 
+    # start/goal of WAMPlannerExample.m:32-33, with small per-problem noise;
+    # rejection-sample so every problem's pinned endpoints are collision-free
+    # (goal configs reach over the desk — ~40% of raw 0.05-rad perturbations
+    # collide, and those are unplannable by construction).
     rng = np.random.default_rng(0)
     base_start = np.array([-0.8, -1.70, 1.64, 1.29, 1.1, -0.106, 2.2])
     base_goal = np.array([-0.0, 0.94, 0.0, 1.6, 0.0, -0.919, 1.55])
-    starts = jnp.asarray(base_start + 0.1 * rng.normal(size=(B, 7)), dtype)
-    goals = jnp.asarray(base_goal + 0.1 * rng.normal(size=(B, 7)), dtype)
+
+    from gpmp2_tpu.kinematics.robot import sphere_centers_world
+    from gpmp2_tpu.obstacle.factors import obstacle_factor_error
+
+    def endpoint_free(confs):
+        err = jax.jit(
+            jax.vmap(
+                lambda q: obstacle_factor_error(robot, sdf, q, 0.0).sum()
+            )
+        )(jnp.asarray(confs, dtype))
+        return np.asarray(err) < 1e-6
+
+    def sample_feasible(base, n):
+        out = []
+        while len(out) < n:
+            cand = base + 0.05 * rng.normal(size=(2 * n, 7))
+            ok = endpoint_free(cand)
+            out.extend(cand[ok][: n - len(out)])
+        return np.stack(out)
+
+    starts = jnp.asarray(sample_feasible(base_start, B), dtype)
+    goals = jnp.asarray(sample_feasible(base_goal, B), dtype)
     zeros = jnp.zeros((B, 7), dtype)
 
     probs = make_problem(robot, sdf, starts, zeros, goals, zeros, setting)
@@ -94,7 +99,9 @@ def main():
         robot, sdf, starts[0], zeros[0], goals[0], zeros[0], setting
     )
     axes = infer_batch_axes(probs, template)
-    params = optimizer_params_from_setting(setting)
+    params = dataclasses.replace(
+        optimizer_params_from_setting(setting), loop=LOOP
+    )
 
     init = jax.vmap(
         lambda s, g: init_traj_straight_line(
@@ -102,30 +109,38 @@ def main():
         )
     )(starts, goals)
 
-    solve = jax.jit(lambda p, t: plan_batch(p, t, params, axes))
+    cc_fn = jax.vmap(collision_cost, in_axes=(axes, 0))
 
-    # warm-up / compile
-    t0 = time.perf_counter()
-    res = solve(probs, init)
-    res.error.block_until_ready()
-    compile_and_first = time.perf_counter() - t0
+    feasible = np.ones((B,), bool)  # guaranteed by rejection sampling
 
+    def solve_impl(p, t):
+        res = plan_batch(p, t, params, axes)
+        cc = cc_fn(p, res.traj.pose)
+        return res, cc
+
+    solve = jax.jit(solve_impl)
+
+    def run_once():
+        t0 = time.perf_counter()
+        res, cc = solve(probs, init)
+        # host materialization = the only trustworthy completion barrier here
+        err = np.asarray(res.error)
+        iters = np.asarray(res.iterations)
+        conv = np.asarray(res.converged)
+        ccn = np.asarray(cc)
+        return time.perf_counter() - t0, err, iters, conv, ccn
+
+    t_compile, *_ = run_once()
     times = []
     for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        res = solve(probs, init)
-        res.error.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        t, err, iters, conv, ccn = run_once()
+        times.append(t)
     t_solve = min(times)
 
-    converged = int(np.sum(np.asarray(res.converged)))
-    plans_per_sec = converged / t_solve
-
-    # quality: fraction collision-free (eps=0 metric == 0)
-    cc = jax.jit(
-        jax.vmap(collision_cost, in_axes=(axes, 0))
-    )(probs, res.traj.pose)
-    frac_free = float(np.mean(np.asarray(cc) < 1e-4))
+    converged = int(conv.sum())
+    collision_free = ccn < 1e-4
+    good = conv & collision_free & feasible
+    plans_per_sec = int(good.sum()) / t_solve
 
     baseline_plans_per_sec = 20.0  # 50 ms/plan C++ single-thread anchor
     out = {
@@ -134,11 +149,16 @@ def main():
         "unit": "plans/s",
         "vs_baseline": round(plans_per_sec / baseline_plans_per_sec, 2),
         "batch": B,
+        "loop": LOOP,
         "converged_frac": round(converged / B, 4),
-        "collision_free_frac": round(frac_free, 4),
+        "feasible_frac": round(float(feasible.mean()), 4),
+        "collision_free_frac": round(
+            float(collision_free[feasible].mean()) if feasible.any() else 0.0, 4
+        ),
         "solve_time_s": round(t_solve, 4),
-        "compile_s": round(compile_and_first, 1),
-        "mean_iters": round(float(np.mean(np.asarray(res.iterations))), 2),
+        "compile_s": round(t_compile, 1),
+        "mean_iters": round(float(iters.mean()), 2),
+        "median_err": round(float(np.median(err)), 4),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
