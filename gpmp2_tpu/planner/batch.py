@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..kinematics.robot import RobotModel
 from ..obstacle.sdf import PlanarSDF
@@ -32,6 +33,7 @@ from .traj_utils import init_traj_straight_line
 
 __all__ = [
     "make_problem",
+    "set_workspace_prior",
     "infer_batch_axes",
     "batch_traj_optimize",
     "plan_batch",
@@ -50,6 +52,8 @@ def make_problem(
     setting: TrajOptimizerSetting,
     *,
     num_extra: int = 0,
+    self_collision_pairs=None,
+    num_ws: int = 0,
     flag_vehicle_dynamics: bool = False,
     dyn_sigma: float = 1e-3,
     goal_region: bool = False,
@@ -78,6 +82,22 @@ def make_problem(
         (e.g. sphere link ids) untouched."""
         x = jnp.asarray(x)
         return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    # self-collision pair table: rows (sphere_a, sphere_b, eps, sigma)
+    # (the reference's N x 4 data matrix, SelfCollision.h:60)
+    if self_collision_pairs is not None:
+        scp = np.asarray(self_collision_pairs, dtype=np.float64)
+        sc_a = jnp.asarray(scp[:, 0], jnp.int32)
+        sc_b = jnp.asarray(scp[:, 1], jnp.int32)
+        sc_eps = f(scp[:, 2])
+        sc_w = f(1.0 / scp[:, 3] ** 2)
+        flag_sc = True
+    else:
+        sc_a = jnp.zeros((0,), jnp.int32)
+        sc_b = jnp.zeros((0,), jnp.int32)
+        sc_eps = jnp.zeros((0,), dtype)
+        sc_w = jnp.zeros((0,), dtype)
+        flag_sc = False
 
     dt = setting.total_time / setting.total_step
     inter = setting.obs_check_inter
@@ -116,6 +136,13 @@ def make_problem(
         extra_vel=jnp.zeros((K, d), dtype),
         extra_pose_w=jnp.zeros((K, d), dtype),
         extra_vel_w=jnp.zeros((K, d), dtype),
+        sc_pairs_a=sc_a, sc_pairs_b=sc_b, sc_eps=sc_eps, sc_w=sc_w,
+        ws_idx=jnp.zeros((num_ws,), jnp.int32),
+        ws_link=jnp.zeros((num_ws,), jnp.int32),
+        ws_rot=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (num_ws, 3, 3)),
+        ws_point=jnp.zeros((num_ws, 3), dtype),
+        ws_pos_w=jnp.zeros((num_ws, 3), dtype),
+        ws_rot_w=jnp.zeros((num_ws, 3), dtype),
         N=setting.total_step,
         planar=isinstance(sdf, PlanarSDF),
         flag_pos_limit=setting.flag_pos_limit,
@@ -123,6 +150,8 @@ def make_problem(
         flag_vehicle_dynamics=flag_vehicle_dynamics,
         goal_region=goal_region,
         num_extra=K,
+        flag_self_collision=flag_sc,
+        num_ws=num_ws,
     )
 
 
@@ -134,6 +163,29 @@ def infer_batch_axes(problems: TrajProblem, template: TrajProblem):
         return 0 if jnp.ndim(b) == jnp.ndim(t) + 1 else None
 
     return jax.tree_util.tree_map(ax, problems, template)
+
+
+def set_workspace_prior(prob: TrajProblem, slot: int, state_idx: int,
+                        link_id: int, *, point=None, rot=None,
+                        pos_sigma: float = 0.01, rot_sigma: float = 0.01):
+    """Fill a workspace-prior slot: pin link `link_id`'s frame at state
+    `state_idx` to a desired position and/or orientation
+    (GaussianPriorWorkspacePosition/Orientation/Pose semantics; pass both
+    `point` and `rot` for the full-pose prior)."""
+    import dataclasses
+
+    dtype = prob.ws_point.dtype
+    upd = dict(
+        ws_idx=prob.ws_idx.at[slot].set(state_idx),
+        ws_link=prob.ws_link.at[slot].set(link_id),
+    )
+    if point is not None:
+        upd["ws_point"] = prob.ws_point.at[slot].set(jnp.asarray(point, dtype))
+        upd["ws_pos_w"] = prob.ws_pos_w.at[slot].set(1.0 / pos_sigma**2)
+    if rot is not None:
+        upd["ws_rot"] = prob.ws_rot.at[slot].set(jnp.asarray(rot, dtype))
+        upd["ws_rot_w"] = prob.ws_rot_w.at[slot].set(1.0 / rot_sigma**2)
+    return dataclasses.replace(prob, **upd)
 
 
 def optimizer_params_from_setting(setting: TrajOptimizerSetting) -> OptimizerParams:

@@ -98,6 +98,20 @@ class TrajProblem:
     extra_vel: jnp.ndarray  # (K, d)
     extra_pose_w: jnp.ndarray  # (K, d)
     extra_vel_w: jnp.ndarray  # (K, d)
+    # extension: self-collision factor at every state (SelfCollision.h)
+    sc_pairs_a: jnp.ndarray  # (Psc,) int32 sphere indices
+    sc_pairs_b: jnp.ndarray  # (Psc,) int32
+    sc_eps: jnp.ndarray  # (Psc,) per-pair safety margins
+    sc_w: jnp.ndarray  # (Psc,) per-pair precisions
+    # extension: Kw weight-masked workspace prior slots
+    # (GaussianPriorWorkspacePosition/Orientation/Pose.h); each slot pins
+    # link `ws_link[k]`'s frame at trajectory state `ws_idx[k]`
+    ws_idx: jnp.ndarray  # (Kw,) int32 state index
+    ws_link: jnp.ndarray  # (Kw,) int32 link index
+    ws_rot: jnp.ndarray  # (Kw, 3, 3) desired orientation
+    ws_point: jnp.ndarray  # (Kw, 3) desired position
+    ws_pos_w: jnp.ndarray  # (Kw, 3) position precision (zero = off)
+    ws_rot_w: jnp.ndarray  # (Kw, 3) orientation precision (zero = off)
     # meta (static)
     N: int = 10  # total_step: number of intervals
     planar: bool = False
@@ -106,6 +120,8 @@ class TrajProblem:
     flag_vehicle_dynamics: bool = False
     goal_region: bool = False  # workspace goal instead of end-config prior
     num_extra: int = 0
+    flag_self_collision: bool = False
+    num_ws: int = 0
 
     @property
     def space(self) -> StateSpace:
@@ -122,9 +138,12 @@ jax.tree_util.register_dataclass(
         "vel_lim", "vel_lim_thresh", "vel_lim_w", "dyn_w",
         "goal_point", "goal_w",
         "extra_idx", "extra_pose", "extra_vel", "extra_pose_w", "extra_vel_w",
+        "sc_pairs_a", "sc_pairs_b", "sc_eps", "sc_w",
+        "ws_idx", "ws_link", "ws_rot", "ws_point", "ws_pos_w", "ws_rot_w",
     ],
     meta_fields=["N", "planar", "flag_pos_limit", "flag_vel_limit",
-                 "flag_vehicle_dynamics", "goal_region", "num_extra"],
+                 "flag_vehicle_dynamics", "goal_region", "num_extra",
+                 "flag_self_collision", "num_ws"],
 )
 
 
@@ -220,6 +239,58 @@ def _goal_res(prob: TrajProblem, pose):
     return ee - prob.goal_point
 
 
+def _selfcoll_res(prob: TrajProblem, conf):
+    """Self-collision residual (Psc,) (SelfCollision.h:112-132)."""
+    from ..obstacle.factors import self_collision_error
+
+    return self_collision_error(
+        prob.robot, conf, prob.sc_pairs_a, prob.sc_pairs_b, prob.sc_eps
+    )
+
+
+def _selfcoll_res_and_jac(prob: TrajProblem, conf):
+    """Analytic self-collision residual + Jacobian (Psc,), (Psc, d)."""
+    from ..kinematics.robot import sphere_centers_and_jac
+
+    centers, Jc = sphere_centers_and_jac(prob.robot, conf)
+    ca = centers[prob.sc_pairs_a]
+    cb = centers[prob.sc_pairs_b]
+    Ja = Jc[prob.sc_pairs_a]  # (P, 3, d)
+    Jb = Jc[prob.sc_pairs_b]
+    radii = prob.robot.sphere_radii
+    eps_total = radii[prob.sc_pairs_a] + radii[prob.sc_pairs_b] + prob.sc_eps
+    diff = ca - cb
+    d2 = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    active = dist <= eps_total
+    r = jnp.where(active, eps_total - dist, 0.0)
+    # d(dist)/dconf = (diff/dist) . (Ja - Jb); residual derivative is minus
+    grad = jnp.einsum("pk,pkd->pd", diff / dist[:, None], Ja - Jb)
+    J = jnp.where(active[:, None], -grad, 0.0)
+    return r, J
+
+
+def _ws_residuals(prob: TrajProblem, pose_at, dpose=None):
+    """Workspace-prior residuals for all slots: (Kw, 6) rows
+    [rot err (3), pos err (3)]. pose_at: (Kw, P) configs gathered at ws_idx
+    (optionally perturbed)."""
+    from ..geometry import so3
+    from ..kinematics.fk import link_poses
+
+    space = prob.space
+
+    def one(k_conf, rot_des, point_des, link_id):
+        poses = link_poses(prob.robot.fk, k_conf)
+        R = poses.rot[link_id]
+        t = poses.trans[link_id]
+        # orientation error Log(des^T R) (GaussianPriorWorkspaceOrientation.h:53-71)
+        r_rot = so3.logmap(jnp.swapaxes(rot_des, -1, -2) @ R)
+        r_pos = t - point_des  # (GaussianPriorWorkspacePosition.h:53-69)
+        return jnp.concatenate([r_rot, r_pos], axis=-1)
+
+    return jax.vmap(one)(pose_at, prob.ws_rot, prob.ws_point, prob.ws_link)
+
+
 def _interp_coeffs_all(prob: TrajProblem):
     """Lambda/Psi for every tau: (inter, 2d, 2d) each."""
     lam = jax.vmap(lambda t: calc_lambda(prob.Qc, prob.dt, t))(prob.taus)
@@ -287,6 +358,15 @@ def traj_error(prob: TrajProblem, traj: Trajectory):
     if prob.flag_vehicle_dynamics:
         r = jax.vmap(lambda p, v: _dyn_res(prob, p, v))(pose, vel)
         err += quad_err_diag(prob.dyn_w, r)
+
+    if prob.flag_self_collision:
+        r = jax.vmap(lambda p: _selfcoll_res(prob, p))(pose)
+        err += quad_err_diag(prob.sc_w, r)
+
+    if prob.num_ws > 0:
+        rw = _ws_residuals(prob, pose[prob.ws_idx])
+        W6 = jnp.concatenate([prob.ws_rot_w, prob.ws_pos_w], axis=-1)
+        err += quad_err_diag(W6, rw)
 
     if prob.num_extra > 0:
         rp = jax.vmap(lambda mean, x: _prior_res(space, mean, x))(
@@ -514,6 +594,44 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
         err = err + quad_err_diag(prob.dyn_w, dr)
         H_diag = H_diag + jtwj_diag(dJ, prob.dyn_w, dJ)
         b = b - jtwr_diag(dJ, prob.dyn_w, dr)
+
+    # ---- self-collision --------------------------------------------------
+    if prob.flag_self_collision:
+        if space.is_vector:
+            sc_r, sc_J = jax.vmap(lambda p: _selfcoll_res_and_jac(prob, p))(pose)
+        else:
+            sc_r, sc_J = _jac_unary_pose(
+                space, lambda p: _selfcoll_res(prob, p), pose
+            )
+        H_diag, b, err = add_unary_pose(
+            H_diag, b, err, jnp.arange(n), sc_r, sc_J, prob.sc_w
+        )
+
+    # ---- workspace prior slots ------------------------------------------
+    if prob.num_ws > 0:
+        def ws_rj(k_conf, rot_des, point_des, link_id):
+            def f(dp):
+                from ..geometry import so3
+                from ..kinematics.fk import link_poses
+
+                poses = link_poses(prob.robot.fk, space.retract(k_conf, dp))
+                R = poses.rot[link_id]
+                t = poses.trans[link_id]
+                r = jnp.concatenate(
+                    [so3.logmap(jnp.swapaxes(rot_des, -1, -2) @ R),
+                     t - point_des], axis=-1,
+                )
+                return r, r
+
+            return jax.jacfwd(f, has_aux=True)(jnp.zeros(d, dtype))
+
+        wJ, wr = jax.vmap(ws_rj)(
+            pose[prob.ws_idx], prob.ws_rot, prob.ws_point, prob.ws_link
+        )  # (Kw, 6, d), (Kw, 6)
+        W6 = jnp.concatenate([prob.ws_rot_w, prob.ws_pos_w], axis=-1)
+        err = err + quad_err_diag(W6, wr)
+        H_diag = H_diag.at[prob.ws_idx, :d, :d].add(jtwj_diag(wJ, W6, wJ))
+        b = b.at[prob.ws_idx, :d].add(-jtwr_diag(wJ, W6, wr))
 
     # ---- extra (replanning) prior slots --------------------------------
     if prob.num_extra > 0:
