@@ -118,9 +118,140 @@ def sphere_centers_and_jac(model: RobotModel, q):
         J = jnp.where(jmask[..., None], crosses, 0.0)  # (S, d, 3)
         return centers, jnp.swapaxes(J, -1, -2)  # (S, 3, d)
 
+    if isinstance(
+        fk,
+        (fk_mod.Pose2MobileBaseFK, fk_mod.Pose2MobileArmFK,
+         fk_mod.Pose2Mobile2ArmsFK, fk_mod.Pose2MobileVetLinArmFK,
+         fk_mod.Pose2MobileVetLin2ArmsFK),
+    ):
+        return _mobile_sphere_jac(model, q)
+
     # generic fallback: AD through the FK composition
     def f(qq):
         return sphere_centers_world(model, qq)
 
     J = jax.jacfwd(f)(q)
     return f(q), J
+
+
+def _mobile_sphere_jac(model: RobotModel, q):
+    """Analytic sphere Jacobians for SE(2)-based mobile families.
+
+    Tangent layout [vx, vy, omega, (lift,) q_arm1 (, q_arm2)] (right SE(2)
+    retract). The base columns follow from the exact embedding of the
+    SE(2) exponential into SE(3):
+
+      dp/dvx = R_B e_x,  dp/dvy = R_B e_y,  dp/domega = e_z x (p - t_B)
+
+    (base rotation is about world z, so the omega column reduces to a
+    world-frame cross product); the prismatic torso gives +-e_z for links
+    at/above it (liftBasePose3, mobileBaseUtils.cpp:51-86), and revolute
+    arm joints give z_j x (p - o_j) using the re-rooted world frames — the
+    analytic equivalent of the reference's Adjoint re-rooting
+    (Pose2MobileArm.cpp:96-106). Verified against AD in tests.
+    """
+    fk = model.fk
+    d = model.dof
+    S = model.num_spheres
+    dtype = q.dtype
+
+    poses = fk_mod.link_poses(fk, q)  # world link frames
+    link_ids = model.sphere_link_ids
+    rot = poses.rot[link_ids]
+    trans = poses.trans[link_ids]
+    centers = (rot @ model.sphere_centers[..., None])[..., 0] + trans
+
+    th = q[2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    col_vx = jnp.broadcast_to(jnp.stack([c, s, zero]), (S, 3))
+    col_vy = jnp.broadcast_to(jnp.stack([-s, c, zero]), (S, 3))
+    tB = jnp.stack([q[0], q[1], zero])
+    rel = centers - tB  # (S, 3)
+    ez = jnp.stack([zero, zero, one])
+    col_w = jnp.cross(jnp.broadcast_to(ez, (S, 3)), rel)
+
+    cols = [col_vx[:, :, None], col_vy[:, :, None], col_w[:, :, None]]
+
+    # family-specific assembly of the remaining columns
+    if isinstance(fk, fk_mod.Pose2MobileBaseFK):
+        J = jnp.concatenate(cols, axis=-1)
+        return centers, J
+
+    from ..geometry import se3
+    from ..geometry.se3 import Pose3
+
+    veh = fk_mod.base_pose3(q[:3])
+
+    def revolute_cols(arm_base: Pose3, arm: fk_mod.ArmFK, arm_links: Pose3,
+                      local_ids):
+        """(S, 3, A) columns for a revolute chain rooted at arm_base.
+        local_ids: (S,) local link index (or -1 when sphere not on arm)."""
+        A = arm.dof
+        frame_rots = jnp.concatenate([arm_base.rot[None], arm_links.rot[:-1]])
+        frame_trans = jnp.concatenate(
+            [arm_base.trans[None], arm_links.trans[:-1]]
+        )
+        z_axes = frame_rots[..., :, 2]  # (A, 3)
+        relj = centers[:, None, :] - frame_trans[None, :, :]  # (S, A, 3)
+        crosses = jnp.cross(z_axes[None], relj)  # (S, A, 3)
+        mask = (
+            (jnp.arange(A)[None, :] <= local_ids[:, None]) & (local_ids >= 0)[:, None]
+        )
+        return jnp.swapaxes(jnp.where(mask[..., None], crosses, 0.0), -1, -2)
+
+    def slice_links(lo, hi):
+        return Pose3(poses.rot[lo:hi], poses.trans[lo:hi])
+
+    if isinstance(fk, fk_mod.Pose2MobileArmFK):
+        arm_base = se3.compose(veh, fk.base_T_arm)
+        local = jnp.where(link_ids >= 1, link_ids - 1, -1)
+        cols.append(revolute_cols(arm_base, fk.arm, slice_links(1, 1 + fk.arm.dof), local))
+
+    elif isinstance(fk, fk_mod.Pose2Mobile2ArmsFK):
+        A1 = fk.arm1.dof
+        base1 = se3.compose(veh, Pose3(fk.base_T_arm1_rot, fk.base_T_arm1_trans))
+        base2 = se3.compose(veh, Pose3(fk.base_T_arm2_rot, fk.base_T_arm2_trans))
+        local1 = jnp.where((link_ids >= 1) & (link_ids <= A1), link_ids - 1, -1)
+        local2 = jnp.where(link_ids > A1, link_ids - A1 - 1, -1)
+        cols.append(revolute_cols(base1, fk.arm1, slice_links(1, 1 + A1), local1))
+        cols.append(
+            revolute_cols(base2, fk.arm2,
+                          slice_links(1 + A1, 1 + A1 + fk.arm2.dof), local2)
+        )
+
+    elif isinstance(fk, fk_mod.Pose2MobileVetLinArmFK):
+        sign = -1.0 if fk.reverse_linact else 1.0
+        on_torso = link_ids >= 1
+        col_lift = jnp.where(
+            on_torso[:, None], sign * jnp.broadcast_to(ez, (S, 3)), 0.0
+        )
+        cols.append(col_lift[:, :, None])
+        torso = Pose3(poses.rot[1], poses.trans[1])
+        arm_base = se3.compose(torso, Pose3(fk.torso_T_arm_rot, fk.torso_T_arm_trans))
+        local = jnp.where(link_ids >= 2, link_ids - 2, -1)
+        cols.append(revolute_cols(arm_base, fk.arm, slice_links(2, 2 + fk.arm.dof), local))
+
+    elif isinstance(fk, fk_mod.Pose2MobileVetLin2ArmsFK):
+        A1 = fk.arm1.dof
+        sign = -1.0 if fk.reverse_linact else 1.0
+        on_torso = link_ids >= 1
+        col_lift = jnp.where(
+            on_torso[:, None], sign * jnp.broadcast_to(ez, (S, 3)), 0.0
+        )
+        cols.append(col_lift[:, :, None])
+        torso = Pose3(poses.rot[1], poses.trans[1])
+        base1 = se3.compose(torso, Pose3(fk.torso_T_arm1_rot, fk.torso_T_arm1_trans))
+        base2 = se3.compose(torso, Pose3(fk.torso_T_arm2_rot, fk.torso_T_arm2_trans))
+        local1 = jnp.where((link_ids >= 2) & (link_ids <= 1 + A1), link_ids - 2, -1)
+        local2 = jnp.where(link_ids > 1 + A1, link_ids - 2 - A1, -1)
+        cols.append(revolute_cols(base1, fk.arm1, slice_links(2, 2 + A1), local1))
+        cols.append(
+            revolute_cols(base2, fk.arm2,
+                          slice_links(2 + A1, 2 + A1 + fk.arm2.dof), local2)
+        )
+
+    J = jnp.concatenate(cols, axis=-1)
+    assert J.shape == (S, 3, d)
+    return centers, J

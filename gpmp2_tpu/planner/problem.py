@@ -495,11 +495,9 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
     b = b.at[1:].add(-jtwr_full(J2, W_gp, gp_r))
 
     # ---- obstacle factors at support states ----------------------------
-    if space.is_vector:
-        # analytic path: 1 FK pass + geometric Jacobian per state
-        obs_r, obs_J = jax.vmap(lambda p: _obs_res_and_jac(prob, p))(pose)
-    else:
-        obs_r, obs_J = _jac_unary_pose(space, lambda p: _obs_res(prob, p), pose)
+    # analytic path: 1 FK pass + geometric Jacobian per state (all robot
+    # families have analytic sphere Jacobians)
+    obs_r, obs_J = jax.vmap(lambda p: _obs_res_and_jac(prob, p))(pose)
     H_diag, b, err = add_unary_pose(
         H_diag, b, err, jnp.arange(n), obs_r, obs_J, prob.obs_w
     )
@@ -531,19 +529,25 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
             Jz1 = jnp.einsum("itsd,tde->itse", Jconf, lam_p)  # (n-1,T,S,2d)
             Jz2 = jnp.einsum("itsd,tde->itse", Jconf, psi_p)
         else:
+            # Lie hybrid: AD only through the (cheap) interpolation chart,
+            # analytic FK/SDF Jacobian at the interpolated configuration:
+            #   J_z = J_conf(pose_tau) @ d tangent(pose_tau)/d z   (AD)
             def interval_rj(p1, v1, p2, v2):
                 def at_tau(l, ps):
-                    def f(dz):
+                    co = InterpCoeffs(l, ps)
+                    pt0 = interpolate_pose(space, co, p1, v1, p2, v2)
+
+                    def mid(dz):
                         pt = interpolate_pose(
-                            space, InterpCoeffs(l, ps),
+                            space, co,
                             space.retract(p1, dz[:d]), v1 + dz[d : 2 * d],
                             space.retract(p2, dz[2 * d : 3 * d]), v2 + dz[3 * d :],
                         )
-                        r = _obs_res(prob, pt)
-                        return r, r
+                        return space.local(pt0, pt)
 
-                    J, r = jax.jacfwd(f, has_aux=True)(jnp.zeros(2 * m, dtype))
-                    return r, J
+                    J_mid = jax.jacfwd(mid)(jnp.zeros(2 * m, dtype))  # (d, 2m)
+                    r, J_conf = _obs_res_and_jac(prob, pt0)  # (S,), (S, d)
+                    return r, J_conf @ J_mid  # (S, 2m)
 
                 return jax.vmap(at_tau)(lam, psi)
 
@@ -597,12 +601,7 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
 
     # ---- self-collision --------------------------------------------------
     if prob.flag_self_collision:
-        if space.is_vector:
-            sc_r, sc_J = jax.vmap(lambda p: _selfcoll_res_and_jac(prob, p))(pose)
-        else:
-            sc_r, sc_J = _jac_unary_pose(
-                space, lambda p: _selfcoll_res(prob, p), pose
-            )
+        sc_r, sc_J = jax.vmap(lambda p: _selfcoll_res_and_jac(prob, p))(pose)
         H_diag, b, err = add_unary_pose(
             H_diag, b, err, jnp.arange(n), sc_r, sc_J, prob.sc_w
         )

@@ -103,3 +103,72 @@ class TestObstacleJacobian:
             J_ad = jax.jacfwd(lambda qq: _obs_res(prob, qq))(q)
             np.testing.assert_allclose(np.asarray(r), np.asarray(_obs_res(prob, q)), atol=1e-12)
             np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-9)
+
+
+class TestMobileSphereJacobian:
+    """Analytic sphere Jacobians for every mobile family vs AD through
+    the retract-perturbed FK (the reference's Adjoint re-rooting path,
+    Pose2MobileArm.cpp:96-106)."""
+
+    def _check(self, model):
+        import numpy as np
+
+        space = model.space
+        rng = np.random.default_rng(7)
+        for _ in range(3):
+            q = jnp.asarray(rng.normal(size=space.storage_dim))
+            c, J = sphere_centers_and_jac(model, q)
+
+            def centers_of(dz):
+                return sphere_centers_world(model, space.retract(q, dz))
+
+            J_ad = jax.jacfwd(centers_of)(jnp.zeros(space.dim, jnp.float64))
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(sphere_centers_world(model, q)),
+                atol=1e-12,
+            )
+            np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-9)
+
+    def test_mobile_base(self):
+        from gpmp2_tpu.robots import generate_mobile_base
+
+        self._check(generate_mobile_base(dtype=jnp.float64))
+
+    def test_mobile_arm(self):
+        from gpmp2_tpu.robots import generate_mobile_arm
+
+        self._check(generate_mobile_arm("SimpleTwoLinksArm", dtype=jnp.float64))
+
+    def test_mobile_two_arms(self):
+        from gpmp2_tpu.robots import generate_mobile_arm
+
+        self._check(generate_mobile_arm("SimpleTwoArms", dtype=jnp.float64))
+
+    def test_vector_jaco(self):
+        from gpmp2_tpu.robots import generate_mobile_arm
+
+        self._check(generate_mobile_arm("Vector", dtype=jnp.float64))
+
+    def test_pr2_vetlin2arms(self):
+        from gpmp2_tpu.robots import generate_mobile_arm
+
+        self._check(generate_mobile_arm("PR2", dtype=jnp.float64))
+
+    def test_vetlin_reverse(self):
+        from gpmp2_tpu.geometry.se3 import Pose3
+        from gpmp2_tpu.kinematics.fk import ArmFK, Pose2MobileVetLinArmFK
+        from gpmp2_tpu.kinematics.robot import make_robot_model
+
+        eye = jnp.eye(3, dtype=jnp.float64)
+        arm = ArmFK.create([0.4, 0.3], [0.1, -0.2], [0.0, 0.1], dtype=jnp.float64)
+        fk = Pose2MobileVetLinArmFK.create(
+            arm, Pose3(eye, jnp.asarray([0.1, 0.0, 0.2])),
+            Pose3(eye, jnp.asarray([0.0, 0.1, 0.0])), reverse_linact=True,
+        )
+        model = make_robot_model(
+            fk,
+            [(0, 0.1, (0.1, 0.0, 0.0)), (1, 0.1, (0.0, 0.1, 0.0)),
+             (2, 0.05, (-0.2, 0.0, 0.0)), (3, 0.05, (0.0, 0.0, 0.1))],
+            dtype=jnp.float64,
+        )
+        self._check(model)
