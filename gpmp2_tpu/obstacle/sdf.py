@@ -82,10 +82,15 @@ def planar_sdf_lookup(sdf: PlanarSDF, point):
     fx = xc - lc  # in [0, 1)
     fy = yc - lr
 
-    d00 = sdf.data[..., lri, lci]  # (low row, low col)
-    d10 = sdf.data[..., hri, lci]
-    d01 = sdf.data[..., lri, hci]
-    d11 = sdf.data[..., hri, hci]
+    # fused 4-corner gather from the flattened field (see the 3D variant
+    # for the boundary-safety argument)
+    flat = sdf.data.reshape(-1)
+    base = lri * cols + lci
+    corner_offs = jnp.asarray([0, cols, 1, cols + 1], jnp.int32)
+    vals = jnp.take(flat, base[..., None] + corner_offs)
+    d00, d10, d01, d11 = (
+        vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3],
+    )
 
     dist = (
         (1.0 - fy) * (1.0 - fx) * d00
@@ -135,17 +140,26 @@ def sdf_lookup(sdf: SignedDistanceField, point):
 
     fx, fy, fz = xc - lc, yc - lr, zc - lz
 
-    def at(zi, ri, ci):
-        return sdf.data[..., zi, ri, ci]
-
-    d000 = at(lzi, lri, lci)
-    d010 = at(lzi, hri, lci)
-    d001 = at(lzi, lri, hci)
-    d011 = at(lzi, hri, hci)
-    d100 = at(hzi, lri, lci)
-    d110 = at(hzi, hri, lci)
-    d101 = at(hzi, lri, hci)
-    d111 = at(hzi, hri, hci)
+    # One fused gather of all 8 cell corners from the flattened field: a
+    # single 1-D take lowers to a far cheaper TPU gather than 8 multi-dim
+    # advanced-indexing gathers. Corner offsets use the clamped low corner
+    # as base; +1 offsets may point one past a boundary row only when the
+    # matching interpolation weight is exactly zero (coordinates are
+    # clamped so fx/fy/fz = 0 there), and jnp.take clips out-of-range
+    # linear indices, so the reads are safe and the masked values unused.
+    flat = sdf.data.reshape(-1)
+    base = (lzi * rows + lri) * cols + lci
+    corner_offs = jnp.asarray(
+        [0, cols, 1, cols + 1,
+         rows * cols, rows * cols + cols, rows * cols + 1,
+         rows * cols + cols + 1],
+        jnp.int32,
+    )
+    vals = jnp.take(flat, base[..., None] + corner_offs)  # (..., 8)
+    d000, d010, d001, d011, d100, d110, d101, d111 = (
+        vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3],
+        vals[..., 4], vals[..., 5], vals[..., 6], vals[..., 7],
+    )
 
     w000 = (1 - fy) * (1 - fx) * (1 - fz)
     w010 = fy * (1 - fx) * (1 - fz)

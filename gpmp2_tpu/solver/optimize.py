@@ -96,8 +96,14 @@ def optimize_batch(
     traj0,
     params: OptimizerParams,
 ) -> OptResult:
-    """Run the batched optimizer to per-problem convergence."""
-    err0 = error_fn(traj0)
+    """Run the batched optimizer to per-problem convergence.
+
+    `error_fn` is retained in the signature for API compatibility but the
+    loop derives errors from `linearize_fn`'s error output (one fused
+    residual+Jacobian evaluation per step)."""
+    del error_fn
+    _lin0 = linearize_fn(traj0)
+    err0 = _lin0[3]
     B = err0.shape[0]
     dtype = err0.dtype
     method = params.method
@@ -162,6 +168,7 @@ def optimize_batch(
 
     class _State(NamedTuple):
         traj: object
+        lin: tuple  # (H_diag, H_off, b, err_leaf) linearization at traj
         err: jnp.ndarray  # (B,)
         tr: jnp.ndarray  # (B,) lambda (LM) or trust radius (dogleg)
         converged: jnp.ndarray  # (B,)
@@ -170,9 +177,12 @@ def optimize_batch(
         prev_err: jnp.ndarray
 
     def step(st: _State) -> _State:
-        """One attempt: linearize, solve, accept/reject per lane."""
+        """One attempt: solve at the carried linearization, linearize the
+        candidate (which yields its error as a byproduct — halving the
+        residual/gather work vs a separate error evaluation), accept/reject
+        per lane."""
         active = ~st.converged & (st.iters < params.max_iter)
-        H_diag, H_off, b, _ = linearize_fn(st.traj)
+        H_diag, H_off, b, _ = st.lin
 
         if method == "gaussnewton":
             delta = damped_solve(H_diag, H_off, b, jnp.zeros((B,), dtype))
@@ -184,7 +194,8 @@ def optimize_batch(
         ok = jnp.all(jnp.isfinite(delta.reshape(B, -1)), axis=-1)
         delta = jnp.where(ok[:, None, None], delta, 0.0)
         cand = retract_fn(st.traj, delta)
-        new_err = error_fn(cand)
+        cand_lin = linearize_fn(cand)
+        new_err = cand_lin[3]
         finite = ok & jnp.isfinite(new_err)
 
         if method == "gaussnewton":
@@ -219,15 +230,17 @@ def optimize_batch(
         prev_traj = _mask_tree(accept, st.traj, st.prev_traj)
         prev_err = jnp.where(accept, st.err, st.prev_err)
         traj = _mask_tree(accept, cand, st.traj)
+        lin = _mask_tree(accept, cand_lin, st.lin)
         err = jnp.where(accept, new_err, st.err)
         conv_now = accept & check_convergence(st.err, new_err)
         converged = st.converged | conv_now | gave_up
         iters = st.iters + accept.astype(jnp.int32)
-        return _State(traj, err, tr, converged, iters, prev_traj, prev_err)
+        return _State(traj, lin, err, tr, converged, iters, prev_traj, prev_err)
 
     init_conv = err0 <= params.err_thresh
     st0 = _State(
-        traj0, err0, tr0, init_conv, jnp.zeros((B,), jnp.int32), traj0, err0
+        traj0, _lin0, err0, tr0, init_conv, jnp.zeros((B,), jnp.int32),
+        traj0, err0,
     )
 
     if params.loop == "static":
