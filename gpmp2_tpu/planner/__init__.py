@@ -8,6 +8,7 @@ from .batch import (
     optimizer_params_from_setting,
     plan_batch,
 )
+from .isam2 import ISAM2TrajOptimizer
 from .problem import Trajectory, TrajProblem, collision_cost, traj_error, traj_linearize
 from .settings import TrajOptimizerSetting
 from .traj_utils import init_traj_straight_line, interpolate_traj
@@ -27,4 +28,5 @@ __all__ = [
     "init_traj_straight_line",
     "interpolate_traj",
     "infer_batch_axes",
+    "ISAM2TrajOptimizer",
 ]
