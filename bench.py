@@ -59,10 +59,12 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "1024"))
     REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
-    # static loop: fixed trip count, no per-iteration device->host sync — a
-    # data-dependent while_loop costs a host round-trip per iteration, which
-    # on a remote-dispatch runtime dominates wall clock (measured >5x here).
-    LOOP = os.environ.get("BENCH_LOOP", "static")
+    # chunked loop: jitted chunks of 8 LM steps with a host-side all-done
+    # check between chunks — typical batches converge in 1-2 chunks instead
+    # of the full static schedule of max_iter+reject_budget steps, and one
+    # host sync per chunk is negligible. 'static' = single fixed-trip jitted
+    # loop; 'dynamic' = while_loop (host sync per iteration — slow here).
+    LOOP = os.environ.get("BENCH_LOOP", "chunked")
     dtype = jnp.float32
 
     robot = generate_arm("WAMArm", dtype=dtype)
@@ -126,12 +128,21 @@ def main():
 
     feasible = np.ones((B,), bool)  # guaranteed by rejection sampling
 
+    cc_jit = jax.jit(cc_fn)
+
     def solve_impl(p, t):
         res = plan_batch(p, t, params, axes)
         cc = cc_fn(p, res.traj.pose)
         return res, cc
 
-    solve = jax.jit(solve_impl)
+    if LOOP == "chunked":
+        # host-driven: plan_batch manages its own jitted chunks; wrapping it
+        # in jit would degrade it to the static schedule
+        def solve(p, t):
+            res = plan_batch(p, t, params, axes)
+            return res, cc_jit(p, res.traj.pose)
+    else:
+        solve = jax.jit(solve_impl)
 
     def run_once():
         t0 = time.perf_counter()

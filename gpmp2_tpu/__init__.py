@@ -43,8 +43,15 @@ from .kinematics import (  # noqa: F401
     Pose2MobileVetLin2ArmsFK,
     Pose2MobileVetLinArmFK,
     RobotModel,
+    goal_factor_error,
+    hinge_limit_cost,
+    joint_limit_error,
     make_robot_model,
     sphere_centers_world,
+    velocity_limit_error,
+    workspace_orientation_error,
+    workspace_pose_error,
+    workspace_position_error,
 )
 from .obstacle import (  # noqa: F401
     PlanarSDF,

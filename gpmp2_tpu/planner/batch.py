@@ -17,7 +17,7 @@ one lax.while_loop to joint convergence with per-problem masks.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -205,12 +205,30 @@ def _retract_traj(space, traj: Trajectory, delta) -> Trajectory:
     return Trajectory(pose, vel)
 
 
+@lru_cache(maxsize=None)
+def _vmapped_lin_err(problem_axes):
+    """vmapped (linearize, error) over a batch, keyed by the axes pytree
+    (hashable: every leaf is 0/None). Stable function objects enable the
+    chunked-mode jit cache in solver.optimize."""
+    lin = jax.vmap(traj_linearize, in_axes=(problem_axes, 0))
+    err = jax.vmap(traj_error, in_axes=(problem_axes, 0))
+    return lin, err
+
+
+@lru_cache(maxsize=None)
+def _retract_for(space):
+    return partial(_retract_traj, space)
+
+
 def plan_batch(problems: TrajProblem, init_traj: Trajectory,
                params: OptimizerParams, problem_axes=None) -> OptResult:
     """Optimize a batch of problems. `problem_axes` is a vmap in_axes
     pytree over `problems` (0 = per-problem leaf, None = shared); defaults
     to all-shared-except-start/goal via rank inference against start_pose.
-    Jit-friendly; the heart of the framework."""
+    Jit-friendly (falls back to a fully-traced static loop under jit); when
+    called eagerly with params.loop == 'chunked' the solve runs as jitted
+    chunks with host-side early exit — the fastest mode on TPU.
+    The heart of the framework."""
     space = problems.space
     if problem_axes is None:
         # default: batch exactly the leaves with a leading batch axis equal
@@ -221,17 +239,9 @@ def plan_batch(problems: TrajProblem, init_traj: Trajectory,
             "batch_traj_optimize"
         )
 
-    linearize_fn = jax.vmap(traj_linearize, in_axes=(problem_axes, 0))
-    error_fn = jax.vmap(traj_error, in_axes=(problem_axes, 0))
-
-    def lin(traj):
-        return linearize_fn(problems, traj)
-
-    def err(traj):
-        return error_fn(problems, traj)
-
-    retract = partial(_retract_traj, space)
-    return optimize_batch(lin, err, retract, init_traj, params)
+    lin, err = _vmapped_lin_err(problem_axes)
+    retract = _retract_for(space)
+    return optimize_batch(lin, err, retract, init_traj, params, data=problems)
 
 
 def batch_traj_optimize(

@@ -39,6 +39,12 @@ from ..geometry.statespace import StateSpace
 from ..gp.gputils import calc_lambda, calc_psi, calc_Q_inv
 from ..gp.interpolator import InterpCoeffs, interpolate_pose
 from ..gp.prior import gp_prior_error, gp_prior_jacobians_linear
+from ..kinematics.factors import (
+    goal_factor_error,
+    joint_limit_error,
+    velocity_limit_error,
+    workspace_pose_error,
+)
 from ..kinematics.robot import RobotModel, sphere_centers_world
 from ..obstacle.factors import (
     obstacle_factor_error,
@@ -186,35 +192,18 @@ def _obs_res_and_jac(prob: TrajProblem, conf):
     return r, J
 
 
-def _hinge(p, down, up, thresh):
-    """Double-sided hinge (JointLimitCost.h:16-32)."""
-    lo = down + thresh
-    hi = up - thresh
-    return jnp.where(p < lo, lo - p, jnp.where(p <= hi, jnp.zeros_like(p), p - hi))
-
-
-def _limit_mask(space: StateSpace, dtype):
-    """Pose2Vector joint-limit factors zero the first 3 (SE(2)) dims
-    (JointLimitFactorPose2Vector.h:66-91)."""
-    if space.kind == "se2_vector":
-        return jnp.concatenate(
-            [jnp.zeros(3, dtype), jnp.ones(space.dim - 3, dtype)]
-        )
-    return jnp.ones(space.dim, dtype)
-
-
 def _pos_limit_res(prob: TrajProblem, pose):
     """Joint position limit residual (d,). Only meaningful for vector /
     se2_vector spaces; the hinge runs on the storage coordinates, matching
     JointLimitFactorVector.h:63-79 (and the +3 offset variant)."""
-    space = prob.space
-    mask = _limit_mask(space, pose.dtype)
-    return mask * _hinge(pose, prob.pos_lim_down, prob.pos_lim_up, prob.pos_lim_thresh)
+    return joint_limit_error(
+        prob.space, pose, prob.pos_lim_down, prob.pos_lim_up, prob.pos_lim_thresh
+    )
 
 
 def _vel_limit_res(prob: TrajProblem, vel):
     """Symmetric velocity limit (VelocityLimitFactorVector.h:62-78)."""
-    return _hinge(vel, -prob.vel_lim, prob.vel_lim, prob.vel_lim_thresh)
+    return velocity_limit_error(vel, prob.vel_lim, prob.vel_lim_thresh)
 
 
 def _dyn_res(prob: TrajProblem, pose, vel):
@@ -233,10 +222,7 @@ def _dyn_res(prob: TrajProblem, pose, vel):
 def _goal_res(prob: TrajProblem, pose):
     """Workspace goal residual: end-effector position - goal
     (GoalFactorArm.h:58-77). End-effector = last link frame origin."""
-    from ..kinematics.fk import link_poses
-
-    ee = link_poses(prob.robot.fk, pose).trans[-1]
-    return ee - prob.goal_point
+    return goal_factor_error(prob.robot.fk, pose, prob.goal_point)
 
 
 def _selfcoll_res(prob: TrajProblem, conf):
@@ -274,19 +260,9 @@ def _ws_residuals(prob: TrajProblem, pose_at, dpose=None):
     """Workspace-prior residuals for all slots: (Kw, 6) rows
     [rot err (3), pos err (3)]. pose_at: (Kw, P) configs gathered at ws_idx
     (optionally perturbed)."""
-    from ..geometry import so3
-    from ..kinematics.fk import link_poses
-
-    space = prob.space
 
     def one(k_conf, rot_des, point_des, link_id):
-        poses = link_poses(prob.robot.fk, k_conf)
-        R = poses.rot[link_id]
-        t = poses.trans[link_id]
-        # orientation error Log(des^T R) (GaussianPriorWorkspaceOrientation.h:53-71)
-        r_rot = so3.logmap(jnp.swapaxes(rot_des, -1, -2) @ R)
-        r_pos = t - point_des  # (GaussianPriorWorkspacePosition.h:53-69)
-        return jnp.concatenate([r_rot, r_pos], axis=-1)
+        return workspace_pose_error(prob.robot.fk, k_conf, link_id, rot_des, point_des)
 
     return jax.vmap(one)(pose_at, prob.ws_rot, prob.ws_point, prob.ws_link)
 
@@ -610,15 +586,9 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
     if prob.num_ws > 0:
         def ws_rj(k_conf, rot_des, point_des, link_id):
             def f(dp):
-                from ..geometry import so3
-                from ..kinematics.fk import link_poses
-
-                poses = link_poses(prob.robot.fk, space.retract(k_conf, dp))
-                R = poses.rot[link_id]
-                t = poses.trans[link_id]
-                r = jnp.concatenate(
-                    [so3.logmap(jnp.swapaxes(rot_des, -1, -2) @ R),
-                     t - point_des], axis=-1,
+                r = workspace_pose_error(
+                    prob.robot.fk, space.retract(k_conf, dp), link_id,
+                    rot_des, point_des,
                 )
                 return r, r
 

@@ -19,22 +19,29 @@ per-problem convergence masks, per-problem lambda / trust radius, and
 frozen (masked) updates for converged lanes.
 
 Loop modes (params.loop):
-  - 'static' (default): a `lax.fori_loop` with a STATIC trip count.
-    Each step is one linearize + one damped solve + one accept test; a
-    rejected LM/Dogleg step re-linearizes at the unchanged iterate (the
-    linearization is identical, only lambda/Delta changed — slightly
-    redundant compute in exchange for a fixed schedule). Static trip
-    counts are essential on TPU: data-dependent `while_loop` conditions
-    force a device->host sync per iteration, which dominates wall-clock
-    (measured ~100x) on remote-dispatch runtimes.
+  - 'chunked' (default, fastest on TPU): jit a fixed chunk of
+    `chunk_size` steps, then check the batch's all-converged flag ON HOST
+    between chunks. One device->host sync per chunk instead of per
+    iteration; with typical convergence in ~4 accepted steps the whole
+    batch finishes in 1-2 chunks instead of the full max_iter schedule.
+    Host-driven — under an enclosing jit it silently degrades to 'static'.
+    When `data` is passed (and `linearize_fn`/`retract_fn` are stable
+    across calls, see plan_batch), the jitted chunk callables are cached
+    module-wide so repeat solves skip retracing entirely.
+  - 'static': a `lax.fori_loop` with a STATIC trip count
+    (max_iter + reject_budget steps). Each step is one linearize + one
+    damped solve + one accept test. Fully jit-composable; pays the full
+    schedule regardless of convergence. Static trip counts avoid
+    data-dependent `while_loop` conditions, which force a device->host
+    sync per iteration and dominate wall-clock (measured ~100x) on
+    remote-dispatch runtimes.
   - 'dynamic': `lax.while_loop` with early exit when every problem has
     converged — fewer FLOPs, host syncs per iteration; the right choice on
     CPU and for very long max_iter.
 
 GTSAM counts an outer iterate() (with its internal lambda retries) as one
 iteration; here `iterations` counts accepted steps, and `max_iter` bounds
-accepted steps in both modes (static mode runs max_iter + reject_budget
-total steps).
+accepted steps in all modes.
 """
 
 from __future__ import annotations
@@ -68,8 +75,9 @@ class OptimizerParams:
     delta_init: float = 0.2
     delta_min: float = 1e-5
     # loop structure
-    loop: str = "static"  # 'static' | 'dynamic'
-    reject_budget: int = 14  # extra steps to absorb rejected attempts (static)
+    loop: str = "chunked"  # 'chunked' | 'static' | 'dynamic'
+    reject_budget: int = 14  # extra steps to absorb rejected attempts
+    chunk_size: int = 8  # steps per host round-trip ('chunked' mode)
 
 
 class OptResult(NamedTuple):
@@ -77,6 +85,17 @@ class OptResult(NamedTuple):
     error: jnp.ndarray  # (B,) final graph error
     iterations: jnp.ndarray  # (B,) accepted steps taken
     converged: jnp.ndarray  # (B,) bool
+
+
+class _State(NamedTuple):
+    traj: object
+    lin: tuple  # (H_diag, H_off, b, err_leaf) linearization at traj
+    err: jnp.ndarray  # (B,)
+    tr: jnp.ndarray  # (B,) lambda (LM) or trust radius (dogleg)
+    converged: jnp.ndarray  # (B,)
+    iters: jnp.ndarray  # (B,) accepted steps
+    prev_traj: object  # pre-step values (for GN iter_no_increase)
+    prev_err: jnp.ndarray
 
 
 def _mask_tree(mask, new, old):
@@ -89,36 +108,19 @@ def _mask_tree(mask, new, old):
     return jax.tree_util.tree_map(sel, new, old)
 
 
-def optimize_batch(
-    linearize_fn: Callable,  # traj -> (H_diag (B,n,m,m), H_off, b, err (B,))
-    error_fn: Callable,  # traj -> (B,)
-    retract_fn: Callable,  # (traj, delta (B,n,m)) -> traj
-    traj0,
-    params: OptimizerParams,
-) -> OptResult:
-    """Run the batched optimizer to per-problem convergence.
+def _build_fns(linearize_fn: Callable, retract_fn: Callable,
+               params: OptimizerParams):
+    """Build `(make_init, step)` over a two-arg linearize_fn(data, traj).
 
-    `error_fn` is retained in the signature for API compatibility but the
-    loop derives errors from `linearize_fn`'s error output (one fused
-    residual+Jacobian evaluation per step)."""
-    del error_fn
-    _lin0 = linearize_fn(traj0)
-    err0 = _lin0[3]
-    B = err0.shape[0]
-    dtype = err0.dtype
+    Every shape/dtype is derived from runtime arguments (not captured), so
+    the returned functions are pure in `data` and reusable across problem
+    batches — the basis for the chunked-mode jit cache."""
     method = params.method
-
-    if method == "lm":
-        tr0 = jnp.full((B,), params.lambda_init, dtype)
-    elif method == "dogleg":
-        tr0 = jnp.full((B,), params.delta_init, dtype)
-    else:
-        tr0 = jnp.zeros((B,), dtype)
 
     def check_convergence(cur, new):
         """GTSAM checkConvergence (NonlinearOptimizer.cpp)."""
         abs_dec = cur - new
-        rel_dec = abs_dec / jnp.maximum(cur, jnp.asarray(1e-30, dtype))
+        rel_dec = abs_dec / jnp.maximum(cur, jnp.asarray(1e-30, cur.dtype))
         return (
             (new <= params.err_thresh)
             | (abs_dec <= params.abs_thresh)
@@ -127,7 +129,7 @@ def optimize_batch(
 
     def damped_solve(H_diag, H_off, b, lam):
         m = H_diag.shape[-1]
-        eye = jnp.eye(m, dtype=dtype)
+        eye = jnp.eye(m, dtype=H_diag.dtype)
         Hd = H_diag + lam[:, None, None, None] * eye
         return jax.vmap(block_tridiag_solve)(Hd, H_off, b)
 
@@ -145,6 +147,7 @@ def optimize_batch(
 
     def dogleg_delta(H_diag, H_off, b, radius):
         """Classic dogleg point for trust radius (B,)."""
+        B, dtype = b.shape[0], b.dtype
         d_gn = damped_solve(H_diag, H_off, b, jnp.zeros((B,), dtype))
         g = b  # negative gradient
         gHg = jnp.sum(g * apply_H(H_diag, H_off, g), axis=(-2, -1))
@@ -166,21 +169,28 @@ def optimize_batch(
         return jnp.where(use_gn[:, None, None], d_gn,
                          jnp.where(use_sd[:, None, None], d_sd_clip, d_mix))
 
-    class _State(NamedTuple):
-        traj: object
-        lin: tuple  # (H_diag, H_off, b, err_leaf) linearization at traj
-        err: jnp.ndarray  # (B,)
-        tr: jnp.ndarray  # (B,) lambda (LM) or trust radius (dogleg)
-        converged: jnp.ndarray  # (B,)
-        iters: jnp.ndarray  # (B,) accepted steps
-        prev_traj: object  # pre-step values (for GN iter_no_increase)
-        prev_err: jnp.ndarray
+    def make_init(data, traj) -> _State:
+        lin0 = linearize_fn(data, traj)
+        err0 = lin0[3]
+        B, dtype = err0.shape[0], err0.dtype
+        if method == "lm":
+            tr0 = jnp.full((B,), params.lambda_init, dtype)
+        elif method == "dogleg":
+            tr0 = jnp.full((B,), params.delta_init, dtype)
+        else:
+            tr0 = jnp.zeros((B,), dtype)
+        init_conv = err0 <= params.err_thresh
+        return _State(
+            traj, lin0, err0, tr0, init_conv, jnp.zeros((B,), jnp.int32),
+            traj, err0,
+        )
 
-    def step(st: _State) -> _State:
+    def step(data, st: _State) -> _State:
         """One attempt: solve at the carried linearization, linearize the
         candidate (which yields its error as a byproduct — halving the
         residual/gather work vs a separate error evaluation), accept/reject
         per lane."""
+        B, dtype = st.err.shape[0], st.err.dtype
         active = ~st.converged & (st.iters < params.max_iter)
         H_diag, H_off, b, _ = st.lin
 
@@ -194,7 +204,7 @@ def optimize_batch(
         ok = jnp.all(jnp.isfinite(delta.reshape(B, -1)), axis=-1)
         delta = jnp.where(ok[:, None, None], delta, 0.0)
         cand = retract_fn(st.traj, delta)
-        cand_lin = linearize_fn(cand)
+        cand_lin = linearize_fn(data, cand)
         new_err = cand_lin[3]
         finite = ok & jnp.isfinite(new_err)
 
@@ -237,25 +247,113 @@ def optimize_batch(
         iters = st.iters + accept.astype(jnp.int32)
         return _State(traj, lin, err, tr, converged, iters, prev_traj, prev_err)
 
-    init_conv = err0 <= params.err_thresh
-    st0 = _State(
-        traj0, _lin0, err0, tr0, init_conv, jnp.zeros((B,), jnp.int32),
-        traj0, err0,
+    return make_init, step
+
+
+def _make_chunk(step: Callable, params: OptimizerParams):
+    csize = max(1, params.chunk_size)
+
+    def chunk(data, st: _State):
+        st = lax.fori_loop(0, csize, lambda i, s: step(data, s), st)
+        done = jnp.all(st.converged | (st.iters >= params.max_iter))
+        return st, done
+
+    return chunk
+
+
+# chunked-mode jit cache: (linearize_fn, retract_fn, params) -> callables.
+# Entries hold only function objects (no device arrays) — callers who want
+# cache hits must pass identical function objects each time (plan_batch
+# does, via its own lru caches over axes/space).
+_CHUNK_CACHE: dict = {}
+
+
+def _chunked_callables(linearize_fn, retract_fn, params):
+    key = (linearize_fn, retract_fn, params)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    make_init, step = _build_fns(linearize_fn, retract_fn, params)
+    fns = (
+        jax.jit(make_init),
+        jax.jit(_make_chunk(step, params), donate_argnums=1),
+    )
+    _CHUNK_CACHE[key] = fns
+    return fns
+
+
+def optimize_batch(
+    linearize_fn: Callable,
+    error_fn: Callable,  # unused; errors come from linearize_fn
+    retract_fn: Callable,  # (traj, delta (B,n,m)) -> traj
+    traj0,
+    params: OptimizerParams,
+    data=None,
+) -> OptResult:
+    """Run the batched optimizer to per-problem convergence.
+
+    Two calling conventions:
+      - `data is None`: linearize_fn(traj) -> (H_diag (B,n,m,m), H_off, b,
+        err (B,)) with problem data closed over (legacy; chunked mode works
+        but re-jits per call).
+      - `data` given: linearize_fn(data, traj); `data` is threaded through
+        the jit boundary as an argument, enabling the module-wide chunk
+        cache when linearize_fn/retract_fn are stable objects.
+
+    `error_fn` is retained in the signature for API compatibility but the
+    loop derives errors from `linearize_fn`'s error output (one fused
+    residual+Jacobian evaluation per step)."""
+    del error_fn
+    leaf0 = jax.tree_util.tree_leaves(traj0)[0]
+
+    if data is None:
+        lin2 = lambda _d, traj: linearize_fn(traj)  # noqa: E731
+        cacheable = False
+    else:
+        lin2 = linearize_fn
+        cacheable = True
+
+    total = params.max_iter + (
+        0 if params.method == "gaussnewton" else params.reject_budget
     )
 
-    if params.loop == "static":
-        total = params.max_iter + (
-            0 if method == "gaussnewton" else params.reject_budget
-        )
-        st = lax.fori_loop(0, total, lambda i, s: step(s), st0)
-    else:
-        def cond(s):
-            return jnp.any(~s.converged & (s.iters < params.max_iter))
+    loop = params.loop
+    if loop == "chunked" and isinstance(leaf0, jax.core.Tracer):
+        # under an enclosing jit/vmap a host-driven loop is impossible;
+        # degrade to the fully-traced static schedule
+        loop = "static"
 
-        st = lax.while_loop(cond, lambda s: step(s), st0)
+    if loop == "chunked":
+        if cacheable:
+            init_jit, run_chunk = _chunked_callables(lin2, retract_fn, params)
+        else:
+            make_init, step = _build_fns(lin2, retract_fn, params)
+            init_jit = jax.jit(make_init)
+            run_chunk = jax.jit(_make_chunk(step, params), donate_argnums=1)
+        csize = max(1, params.chunk_size)
+        st = init_jit(data, traj0)
+        attempts = 0
+        while attempts < total:
+            st, done = run_chunk(data, st)
+            attempts += csize
+            if bool(done):
+                break
+    else:
+        make_init, step = _build_fns(lin2, retract_fn, params)
+        if loop == "static":
+            st = lax.fori_loop(
+                0, total, lambda i, s: step(data, s), make_init(data, traj0)
+            )
+        else:
+            def cond(s):
+                return jnp.any(~s.converged & (s.iters < params.max_iter))
+
+            st = lax.while_loop(
+                cond, lambda s: step(data, s), make_init(data, traj0)
+            )
 
     traj, err = st.traj, st.err
-    if params.iter_no_increase and method == "gaussnewton":
+    if params.iter_no_increase and params.method == "gaussnewton":
         increased = st.err > st.prev_err
         traj = _mask_tree(increased, st.prev_traj, traj)
         err = jnp.where(increased, st.prev_err, err)
