@@ -86,4 +86,5 @@ from .robots import (  # noqa: F401
     generate_mobile_base,
 )
 from .solver import OptimizerParams, OptResult, block_tridiag_solve, optimize_batch  # noqa: F401
+from .ops import batched_block_tridiag_solve, block_tridiag_solve_pallas  # noqa: F401
 from .utils import load_sdf, read_sdf_vol_file, save_sdf  # noqa: F401

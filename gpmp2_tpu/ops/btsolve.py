@@ -1,0 +1,222 @@
+"""Pallas TPU kernel: fused batched block-tridiagonal Cholesky solve.
+
+Replaces GTSAM's sparse elimination in the optimizer hot loop
+(/root/reference/gpmp2/planner/BatchTrajOptimizer.cpp:212-308) for the
+regular trajectory layout, where the normal equations are exactly
+block-tridiagonal (SURVEY.md section 7).
+
+Design (lane-major batch):
+  - The problem batch B is the TPU vector lane axis. All arrays are
+    transposed to batch-LAST layout (n, m, m, T) per grid tile, so every
+    scalar step of the block-Thomas recurrence becomes one (sublane, lane)
+    VPU op over a whole tile of problems at once.
+  - One kernel instance performs the ENTIRE forward factor-and-solve sweep
+    and the backward substitution for its tile: the per-step Cholesky
+    factors, the C_i^{-1}[U_i | z_i] substitutions, and the carry
+    U^T-contractions all stay in VMEM/registers. The XLA fallback (a
+    `lax.scan` over n with vmapped unrolled small-matrix ops,
+    solver/blocktridiag.py) round-trips the carry through HBM at every one
+    of the n scan steps; fusing the sweep removes those round-trips.
+  - The small m = 2*dof dimension (4..34) is unrolled at trace time inside
+    a `fori_loop` over the trajectory axis n, exactly like the batch-major
+    formulation in solver/smallmat.py.
+
+Numerical semantics match solver/blocktridiag.py: block LDL^T via lower
+Cholesky, optional symmetric Jacobi pre-scaling (applied outside the
+kernel), identical recurrences. Verified against it in
+tests/test_pallas_ops.py (interpret mode on CPU, exact math on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["block_tridiag_solve_pallas", "batched_block_tridiag_solve"]
+
+
+def _chol_lanes(C, m):
+    """Lower Cholesky of C: (m, m, T), unrolled; returns (L, inv_diag)
+    with L[i][j]: (T,) lane vectors and inv_diag[j]: (T,)."""
+    L = [[None] * m for _ in range(m)]
+    inv = [None] * m
+    for j in range(m):
+        s = C[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv[j] = 1.0 / d
+        for i in range(j + 1, m):
+            t = C[i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * inv[j]
+    return L, inv
+
+
+def _chol_solve_lanes(L, inv, rhs, m):
+    """(L L^T)^{-1} rhs for rhs: (m, R, T); row ops are (R, T) tiles."""
+    Y = [None] * m
+    for i in range(m):
+        t = rhs[i]
+        for k in range(i):
+            t = t - L[i][k][None, :] * Y[k]
+        Y[i] = t * inv[i][None, :]
+    X = [None] * m
+    for i in reversed(range(m)):
+        t = Y[i]
+        for k in range(i + 1, m):
+            t = t - L[k][i][None, :] * X[k]
+        X[i] = t * inv[i][None, :]
+    return jnp.stack(X, axis=0)  # (m, R, T)
+
+
+def _bt_kernel(D_ref, U_ref, b_ref, x_ref, G_ref, *, n, m):
+    """Forward factor+solve sweep then backward substitution, one tile.
+
+    D_ref: (n, m, m, T); U_ref: (n, m, m, T) (last block unused/zero);
+    b_ref: (n, m, T); x_ref out (n, m, T); G_ref scratch (n, m, m, T).
+    """
+    T = b_ref.shape[-1]
+    dtype = b_ref.dtype
+    zero_mm = jnp.zeros((m, m, T), dtype)
+    zero_m = jnp.zeros((m, T), dtype)
+
+    def fwd(i, carry):
+        PC, Pz = carry  # U_{i-1}^T C_{i-1}^{-1} {U_{i-1}, z_{i-1}}
+        C = D_ref[i] - PC  # (m, m, T)
+        z = b_ref[i] - Pz  # (m, T)
+        Ui = U_ref[i]  # (m, m, T)
+        L, inv = _chol_lanes(C, m)
+        # solve C^{-1} [U_i | z_i] in one substitution pass: rhs (m, m+1, T)
+        rhs = jnp.concatenate([Ui, z[:, None, :]], axis=1)
+        X = _chol_solve_lanes(L, inv, rhs, m)  # (m, m+1, T)
+        G = X[:, :m]  # C_i^{-1} U_i
+        w = X[:, m]  # C_i^{-1} z_i
+        G_ref[i] = G
+        x_ref[i] = w
+        # carry: U_i^T [G | w] -> (m, m+1, T)
+        PC_new = [None] * m
+        for a in range(m):
+            acc = Ui[0, a][None, :] * X[0]
+            for k in range(1, m):
+                acc = acc + Ui[k, a][None, :] * X[k]
+            PC_new[a] = acc  # (m+1, T)
+        PCw = jnp.stack(PC_new, axis=0)  # (m, m+1, T)
+        return PCw[:, :m], PCw[:, m]
+
+    lax.fori_loop(0, n, fwd, (zero_mm, zero_m), unroll=False)
+
+    def bwd(j, x_next):
+        i = n - 2 - j
+        G = G_ref[i]  # (m, m, T)
+        w = x_ref[i]  # (m, T)
+        acc = G[:, 0] * x_next[0][None, :]
+        for k in range(1, m):
+            acc = acc + G[:, k] * x_next[k][None, :]
+        x_i = w - acc
+        x_ref[i] = x_i
+        return x_i
+
+    lax.fori_loop(0, n - 1, bwd, x_ref[n - 1], unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("jacobi_scaling", "tile_b", "interpret")
+)
+def block_tridiag_solve_pallas(
+    D, U, b, jacobi_scaling: bool = True, tile_b: int = 128,
+    interpret: bool = False,
+):
+    """Solve H x = b for a batch of SPD block-tridiagonal systems.
+
+    D: (B, n, m, m) diagonal blocks; U: (B, n-1, m, m) upper off-diagonals
+    (H[i, i+1] = U[i]); b: (B, n, m). Returns x: (B, n, m).
+
+    The batch is padded to a multiple of `tile_b` lanes (padded lanes get
+    identity diagonal blocks so the factorization stays finite).
+    """
+    B, n, m = b.shape[0], b.shape[1], b.shape[2]
+    dtype = b.dtype
+
+    if jacobi_scaling:
+        diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (B, n, m)
+        s = lax.rsqrt(jnp.maximum(diag, 1e-30))
+        D = D * s[..., :, None] * s[..., None, :]
+        U = U * s[:, :-1, :, None] * s[:, 1:, None, :]
+        b = b * s
+
+    Bp = -(-B // tile_b) * tile_b
+    padB = Bp - B
+    eyes = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (padB, n, m, m))
+    Dp = jnp.concatenate([D, eyes], axis=0) if padB else D
+    Up = jnp.concatenate([U, jnp.zeros((padB, n - 1, m, m), dtype)], axis=0) if padB else U
+    bp = jnp.concatenate([b, jnp.zeros((padB, n, m), dtype)], axis=0) if padB else b
+    # pad U along n so all inputs share the leading extent (last block unused)
+    Up = jnp.concatenate([Up, jnp.zeros((Bp, 1, m, m), dtype)], axis=1)
+
+    # lane-major layout: batch last
+    Dt = jnp.transpose(Dp, (1, 2, 3, 0))  # (n, m, m, Bp)
+    Ut = jnp.transpose(Up, (1, 2, 3, 0))
+    bt = jnp.transpose(bp, (1, 2, 0))  # (n, m, Bp)
+
+    grid = (Bp // tile_b,)
+    kernel = functools.partial(_bt_kernel, n=n, m=m)
+    xt = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, m, Bp), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, m, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, m, m, tile_b), dtype)],
+        interpret=interpret,
+    )(Dt, Ut, bt)
+
+    x = jnp.transpose(xt, (2, 0, 1))[:B]  # (B, n, m)
+    if jacobi_scaling:
+        x = x * s
+    return x
+
+
+def _use_pallas(D) -> bool:
+    """Pallas path: real TPU backend, f32, and a block size the unrolled
+    kernel handles well."""
+    import os
+
+    flag = os.environ.get("GPMP2_TPU_PALLAS", "auto")
+    if flag == "0":
+        return False
+    m = D.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+    ok = (D.dtype == jnp.float32) and m <= 34 and D.shape[0] >= 64
+    if flag == "1":
+        return ok
+    return on_tpu and ok
+
+
+def batched_block_tridiag_solve(D, U, b, jacobi_scaling: bool = True):
+    """Batch dispatch: Pallas fused kernel on TPU, vmapped scan elsewhere.
+
+    D: (B, n, m, m), U: (B, n-1, m, m), b: (B, n, m) -> (B, n, m).
+    """
+    if _use_pallas(D):
+        return block_tridiag_solve_pallas(D, U, b, jacobi_scaling=jacobi_scaling)
+    from ..solver.blocktridiag import block_tridiag_solve
+
+    return jax.vmap(
+        lambda d, u, bb: block_tridiag_solve(d, u, bb, jacobi_scaling=jacobi_scaling)
+    )(D, U, b)

@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .blocktridiag import block_tridiag_solve
+from ..ops.btsolve import batched_block_tridiag_solve
 
 __all__ = ["OptimizerParams", "OptResult", "optimize_batch"]
 
@@ -131,7 +131,8 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
         m = H_diag.shape[-1]
         eye = jnp.eye(m, dtype=H_diag.dtype)
         Hd = H_diag + lam[:, None, None, None] * eye
-        return jax.vmap(block_tridiag_solve)(Hd, H_off, b)
+        # Pallas fused kernel on TPU (ops/btsolve.py), vmapped scan elsewhere
+        return batched_block_tridiag_solve(Hd, H_off, b)
 
     def apply_H(H_diag, H_off, v):
         Hv = jnp.einsum("bnij,bnj->bni", H_diag, v)

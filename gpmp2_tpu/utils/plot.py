@@ -16,7 +16,11 @@ from ..kinematics.robot import RobotModel, sphere_centers_world
 __all__ = [
     "plot_evidence_map_2d",
     "plot_signed_distance_field_2d",
+    "plot_signed_distance_field_3d",
+    "plot_arm",
     "plot_planar_arm",
+    "plot_planar_mobile_arm",
+    "plot_planar_mobile_2arms",
     "plot_point_robot_2d",
     "plot_planar_mobile_base",
     "plot_robot_model_2d",
@@ -63,6 +67,59 @@ def plot_planar_arm(ax, fk, q, color="b", width=2):
         pts[0] = np.asarray(fk.base_trans)
     ax.plot(pts[:, 0], pts[:, 1], "-o", color=color, linewidth=width,
             markersize=3)
+
+
+def plot_signed_distance_field_3d(ax, field, origin, cell_size,
+                                  epsilon_dist=0.0, marker_size=8):
+    """Scatter the cells within `epsilon_dist` of an obstacle surface
+    (plotSignedDistanceField3D.m: marks field <= epsilon_dist)."""
+    f = np.asarray(field)  # (Z, Y, X)
+    origin = np.asarray(origin)
+    z, y, x = np.nonzero(f <= epsilon_dist)
+    xs = origin[0] + cell_size * x
+    ys = origin[1] + cell_size * y
+    zs = origin[2] + cell_size * z
+    ax.scatter(xs, ys, zs, s=marker_size, c="r", alpha=0.2, marker=".")
+
+
+def plot_arm(ax, fk, q, color="b", width=2):
+    """3D arm skeleton: base -> each link origin as segments (plotArm.m)."""
+    poses = link_poses(fk, np.asarray(q))
+    pts = np.concatenate([np.zeros((1, 3)), np.asarray(poses.trans)], axis=0)
+    if hasattr(fk, "base_trans"):
+        pts[0] = np.asarray(fk.base_trans)
+    ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], "-o", color=color,
+            linewidth=width, markersize=3)
+
+
+def plot_planar_mobile_arm(ax, robot: RobotModel, pose, size=(0.4, 0.2),
+                           color="b"):
+    """SE(2) base rectangle + arm segments from the link frames
+    (plotPlanarMobileArm.m). `pose` is the Pose2Vector storage
+    [x, y, theta, q...]."""
+    p = np.asarray(pose)
+    plot_planar_mobile_base(ax, p[:3], size=size, color=color)
+    poses = link_poses(robot.fk, p)
+    pts = np.asarray(poses.trans)
+    # link 0 is the base frame; arm links follow (Pose2MobileArm.cpp:72-90)
+    arm_pts = np.concatenate([pts[:1], pts[1:]], axis=0)
+    ax.plot(arm_pts[:, 0], arm_pts[:, 1], "-o", color=color, markersize=3)
+
+
+def plot_planar_mobile_2arms(ax, robot: RobotModel, pose, nr_links=(2, 2),
+                             size=(0.4, 0.2), color="b"):
+    """Base + two arm chains (plotPlanarMobile2Arms.m). `nr_links` gives
+    the link counts of the two arms in the FK's link ordering
+    (base, arm1 links, arm2 links — Pose2Mobile2Arms.cpp:55-90)."""
+    p = np.asarray(pose)
+    plot_planar_mobile_base(ax, p[:3], size=size, color=color)
+    poses = link_poses(robot.fk, p)
+    pts = np.asarray(poses.trans)
+    n1, n2 = nr_links
+    arm1 = np.concatenate([pts[:1], pts[1 : 1 + n1]], axis=0)
+    arm2 = np.concatenate([pts[:1], pts[1 + n1 : 1 + n1 + n2]], axis=0)
+    ax.plot(arm1[:, 0], arm1[:, 1], "-o", color=color, markersize=3)
+    ax.plot(arm2[:, 0], arm2[:, 1], "-o", color=color, markersize=3)
 
 
 def plot_point_robot_2d(ax, robot: RobotModel, q, color="b"):
