@@ -151,19 +151,22 @@ def main():
         err = np.asarray(res.error)
         iters = np.asarray(res.iterations)
         conv = np.asarray(res.converged)
+        gave = np.asarray(res.gave_up)
         ccn = np.asarray(cc)
-        return time.perf_counter() - t0, err, iters, conv, ccn
+        return time.perf_counter() - t0, err, iters, conv, gave, ccn
 
     t_compile, *_ = run_once()
     times = []
     for _ in range(REPEATS):
-        t, err, iters, conv, ccn = run_once()
+        t, err, iters, conv, gave, ccn = run_once()
         times.append(t)
     t_solve = min(times)
 
-    converged = int(conv.sum())
+    # honest accounting: a lane that STOPPED (lambda blow-up / non-finite
+    # step) is gave_up, not converged, and never counts toward the headline
+    converged = int((conv & ~gave).sum())
     collision_free = ccn < 1e-4
-    good = conv & collision_free & feasible
+    good = conv & ~gave & collision_free & feasible
     plans_per_sec = int(good.sum()) / t_solve
 
     baseline_plans_per_sec = 20.0  # 50 ms/plan C++ single-thread anchor
@@ -175,6 +178,7 @@ def main():
         "batch": B,
         "loop": LOOP,
         "converged_frac": round(converged / B, 4),
+        "gave_up_frac": round(float(gave.mean()), 4),
         "feasible_frac": round(float(feasible.mean()), 4),
         "collision_free_frac": round(
             float(collision_free[feasible].mean()) if feasible.any() else 0.0, 4

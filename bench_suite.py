@@ -80,7 +80,7 @@ def run_config(name, robot, sdf, starts, goals, setting, B, **problem_kwargs):
         t0 = time.perf_counter()
         res, cc = solve(probs, init)
         err = np.asarray(res.error)
-        conv = np.asarray(res.converged)
+        conv = np.asarray(res.converged) & ~np.asarray(res.gave_up)
         ccn = np.asarray(cc)
         best = min(best, time.perf_counter() - t0)
 
@@ -90,6 +90,7 @@ def run_config(name, robot, sdf, starts, goals, setting, B, **problem_kwargs):
         "plans_per_sec": round(int(good.sum()) / best, 1),
         "batch": B,
         "converged_frac": round(float(conv.mean()), 4),
+        "gave_up_frac": round(float(np.asarray(res.gave_up).mean()), 4),
         "collision_free_frac": round(float((ccn < 1e-4).mean()), 4),
         "solve_s": round(best, 4),
         "compile_s": round(t_compile, 1),

@@ -33,7 +33,7 @@ from . import (  # noqa: F401
 
 # Flat convenience API mirroring the reference's single `gpmp2` namespace
 # (gpmp2.h is the authoritative export list, SURVEY.md section 2.8).
-from .geometry import Pose3, SE2Space, SE2VectorSpace, StateSpace, VectorSpace  # noqa: F401
+from .geometry import Pose3, SE2Space, SE2VectorSpace, SE3Space, StateSpace, VectorSpace  # noqa: F401
 from .kinematics import (  # noqa: F401
     ArmFK,
     PointRobotFK,

@@ -6,7 +6,7 @@ fixed-shape, vmappable JAX operations.
 
 from . import se2, se3, so3
 from .se3 import Pose3
-from .statespace import SE2Space, SE2VectorSpace, StateSpace, VectorSpace
+from .statespace import SE2Space, SE2VectorSpace, SE3Space, StateSpace, VectorSpace
 
 __all__ = [
     "se2",
@@ -17,4 +17,5 @@ __all__ = [
     "VectorSpace",
     "SE2Space",
     "SE2VectorSpace",
+    "SE3Space",
 ]

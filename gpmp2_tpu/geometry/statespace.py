@@ -14,6 +14,10 @@ Supported spaces (mirroring the reference's robot families):
   - SE2Space():     Pose2MobileBase (gtsam::Pose2).
   - SE2VectorSpace(n): Pose2Vector = SE(2) x R^n for every mobile
     manipulator family (arm(s) / lin.actuator + arm(s)).
+  - SE3Space():     gtsam::Pose3 trajectory states — the reference exports
+    GP prior + interpolator on Pose3
+    (/root/reference/gpmp2/gp/GaussianProcessPriorPose3.h:15,
+     GaussianProcessInterpolatorPose3.h:15; public API gpmp2.h:77-99).
 
 Storage conventions:
   - VectorSpace: (d,) array.
@@ -21,6 +25,10 @@ Storage conventions:
   - SE2VectorSpace: (3 + n,) array, [x, y, theta, q_1..q_n]; the tangent is
     [vx, vy, omega, qdot] matching gtsam's Pose2Vector ordering (pose block
     first — see Pose2Vector.h:26-53).
+  - SE3Space: (12,) array [R row-major (9), t (3)]; the tangent is
+    [omega (3), v (3)] matching gtsam::Pose3::Expmap ordering. Rotation is
+    stored as the full matrix (not a quaternion) so chart ops stay
+    branch-free matmuls on the MXU/VPU.
 """
 
 from __future__ import annotations
@@ -29,9 +37,21 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from . import se2
+from . import se2, se3
 
-__all__ = ["VectorSpace", "SE2Space", "SE2VectorSpace", "StateSpace"]
+__all__ = ["VectorSpace", "SE2Space", "SE2VectorSpace", "SE3Space", "StateSpace"]
+
+
+def _se3_unflat(x) -> "se3.Pose3":
+    return se3.Pose3(
+        x[..., :9].reshape(x.shape[:-1] + (3, 3)), x[..., 9:]
+    )
+
+
+def _se3_flat(p: "se3.Pose3"):
+    return jnp.concatenate(
+        [p.rot.reshape(p.rot.shape[:-2] + (9,)), p.trans], axis=-1
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,9 +69,11 @@ class StateSpace:
 
     @property
     def storage_dim(self) -> int:
-        return self.dim
+        return 12 if self.kind == "se3" else self.dim
 
     def identity(self, dtype=jnp.float32):
+        if self.kind == "se3":
+            return _se3_flat(se3.identity(dtype=dtype))
         return jnp.zeros(self.storage_dim, dtype=dtype)
 
     def retract(self, x, delta):
@@ -63,6 +85,8 @@ class StateSpace:
         if self.kind == "se2_vector":
             pose = se2.retract(x[..., :3], delta[..., :3])
             return jnp.concatenate([pose, x[..., 3:] + delta[..., 3:]], axis=-1)
+        if self.kind == "se3":
+            return _se3_flat(se3.retract(_se3_unflat(x), delta))
         raise ValueError(self.kind)
 
     def local(self, x, y):
@@ -74,6 +98,8 @@ class StateSpace:
         if self.kind == "se2_vector":
             pose = se2.local(x[..., :3], y[..., :3])
             return jnp.concatenate([pose, y[..., 3:] - x[..., 3:]], axis=-1)
+        if self.kind == "se3":
+            return se3.local(_se3_unflat(x), _se3_unflat(y))
         raise ValueError(self.kind)
 
     def compose(self, x, y):
@@ -84,6 +110,8 @@ class StateSpace:
         if self.kind == "se2_vector":
             pose = se2.compose(x[..., :3], y[..., :3])
             return jnp.concatenate([pose, x[..., 3:] + y[..., 3:]], axis=-1)
+        if self.kind == "se3":
+            return _se3_flat(se3.compose(_se3_unflat(x), _se3_unflat(y)))
         raise ValueError(self.kind)
 
     def inverse(self, x):
@@ -93,6 +121,8 @@ class StateSpace:
             return se2.inverse(x)
         if self.kind == "se2_vector":
             return jnp.concatenate([se2.inverse(x[..., :3]), -x[..., 3:]], axis=-1)
+        if self.kind == "se3":
+            return _se3_flat(se3.inverse(_se3_unflat(x)))
         raise ValueError(self.kind)
 
     def expmap(self, delta):
@@ -104,6 +134,8 @@ class StateSpace:
             return jnp.concatenate(
                 [se2.expmap(delta[..., :3]), delta[..., 3:]], axis=-1
             )
+        if self.kind == "se3":
+            return _se3_flat(se3.expmap(delta))
         raise ValueError(self.kind)
 
     def logmap(self, x):
@@ -113,6 +145,8 @@ class StateSpace:
             return se2.logmap(x)
         if self.kind == "se2_vector":
             return jnp.concatenate([se2.logmap(x[..., :3]), x[..., 3:]], axis=-1)
+        if self.kind == "se3":
+            return se3.logmap(_se3_unflat(x))
         raise ValueError(self.kind)
 
     @property
@@ -142,7 +176,7 @@ def SE2VectorSpace(n: int) -> StateSpace:
     return space
 
 
-# storage sizes differ from tangent dims only for spaces with constrained
-# storage; all three supported spaces store exactly `dim` numbers, so
-# StateSpace.storage_dim == dim everywhere. (A quaternion-backed SE(3) space
-# would override this.)
+def SE3Space() -> StateSpace:
+    """gtsam::Pose3 trajectory states: tangent dim 6 ([omega, v]), storage
+    dim 12 (rotation matrix row-major + translation)."""
+    return StateSpace("se3", 6)

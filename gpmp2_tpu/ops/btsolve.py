@@ -192,20 +192,41 @@ def block_tridiag_solve_pallas(
     return x
 
 
-def _use_pallas(D) -> bool:
-    """Pallas path: real TPU backend, f32, and a block size the unrolled
-    kernel handles well."""
+# per-core VMEM is ~16 MB on v5e; leave headroom for the compiler's own
+# temporaries and double-buffering of the grid pipeline
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _kernel_vmem_bytes(n: int, m: int, tile_b: int, itemsize: int) -> int:
+    """Resident VMEM of one kernel instance: D, U, G scratch are
+    (n, m, m, tile_b); b and x are (n, m, tile_b)."""
+    return (3 * m * m + 2 * m) * n * tile_b * itemsize
+
+
+def _pallas_plan(D):
+    """Dispatch decision: None => scan fallback, else dict(tile_b,
+    interpret) for the fused kernel.
+
+    Gates on estimated VMEM footprint (ADVICE r1: large (n, m) configs --
+    e.g. n~101, m~34 -- exceed VMEM by an order of magnitude at
+    tile_b=128 and must fall back rather than fail to compile).
+    GPMP2_TPU_PALLAS=1 off-TPU runs the kernel in interpret mode (the
+    compiled path requires the TPU backend)."""
     import os
 
     flag = os.environ.get("GPMP2_TPU_PALLAS", "auto")
     if flag == "0":
-        return False
-    m = D.shape[-1]
+        return None
+    B, n, m = D.shape[0], D.shape[1], D.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
-    ok = (D.dtype == jnp.float32) and m <= 34 and D.shape[0] >= 64
-    if flag == "1":
-        return ok
-    return on_tpu and ok
+    if not (D.dtype == jnp.float32 and m <= 34 and B >= 64):
+        return None
+    if flag != "1" and not on_tpu:
+        return None
+    tile_b = 128  # one full lane register; smaller tiles waste lanes
+    if _kernel_vmem_bytes(n, m, tile_b, 4) > _VMEM_BUDGET_BYTES:
+        return None
+    return {"tile_b": tile_b, "interpret": not on_tpu}
 
 
 def batched_block_tridiag_solve(D, U, b, jacobi_scaling: bool = True):
@@ -213,8 +234,11 @@ def batched_block_tridiag_solve(D, U, b, jacobi_scaling: bool = True):
 
     D: (B, n, m, m), U: (B, n-1, m, m), b: (B, n, m) -> (B, n, m).
     """
-    if _use_pallas(D):
-        return block_tridiag_solve_pallas(D, U, b, jacobi_scaling=jacobi_scaling)
+    plan = _pallas_plan(D)
+    if plan is not None:
+        return block_tridiag_solve_pallas(
+            D, U, b, jacobi_scaling=jacobi_scaling, **plan
+        )
     from ..solver.blocktridiag import block_tridiag_solve
 
     return jax.vmap(

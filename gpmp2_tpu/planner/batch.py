@@ -194,6 +194,7 @@ def optimizer_params_from_setting(setting: TrajOptimizerSetting) -> OptimizerPar
         max_iter=setting.max_iter,
         rel_thresh=setting.rel_thresh,
         iter_no_increase=setting.final_iter_no_increase,
+        verbosity=setting.verbosity,
     )
 
 
@@ -301,7 +302,7 @@ def batch_traj_optimize(
         return res
     return OptResult(
         Trajectory(res.traj.pose[0], res.traj.vel[0]),
-        res.error[0], res.iterations[0], res.converged[0],
+        res.error[0], res.iterations[0], res.converged[0], res.gave_up[0],
     )
 
 

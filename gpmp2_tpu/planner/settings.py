@@ -54,6 +54,9 @@ class TrajOptimizerSetting:
     final_iter_no_increase: bool = True
     rel_thresh: float = 1e-2
     max_iter: int = 50
+    # per-iteration trace (reference verbosity enum None/Error,
+    # TrajOptimizerSetting.h:21; printouts BatchTrajOptimizer.cpp:235-282)
+    verbosity: str = "none"  # 'none' | 'error'
 
     def __post_init__(self):
         d = self.dof
@@ -81,6 +84,7 @@ class TrajOptimizerSetting:
             if self.Qc.ndim == 0:
                 self.Qc = float(self.Qc) * np.eye(d)
         assert self.opt_type in ("gaussnewton", "lm", "dogleg")
+        assert self.verbosity in ("none", "error")
 
     # convenience setters mirroring the wrapper API
     # (TrajOptimizerSetting.h:65-99)
@@ -92,3 +96,11 @@ class TrajOptimizerSetting:
 
     def set_vel_prior_model(self, sigma: float):
         self.vel_prior_sigma = sigma
+
+    def set_verbosity_error(self):
+        """Per-iteration error trace (ref setVerbosityError,
+        TrajOptimizerSetting.h:77)."""
+        self.verbosity = "error"
+
+    def set_verbosity_none(self):
+        self.verbosity = "none"

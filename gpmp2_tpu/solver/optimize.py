@@ -78,13 +78,23 @@ class OptimizerParams:
     loop: str = "chunked"  # 'chunked' | 'static' | 'dynamic'
     reject_budget: int = 14  # extra steps to absorb rejected attempts
     chunk_size: int = 8  # steps per host round-trip ('chunked' mode)
+    # per-iteration trace, mirroring the reference verbosity enum
+    # (TrajOptimizerSetting.h:21): 'none' | 'error' (prints batch error
+    # stats per attempted step via jax.debug.print; works under jit)
+    verbosity: str = "none"
 
 
 class OptResult(NamedTuple):
     traj: object  # optimized state pytree (batched)
     error: jnp.ndarray  # (B,) final graph error
     iterations: jnp.ndarray  # (B,) accepted steps taken
-    converged: jnp.ndarray  # (B,) bool
+    converged: jnp.ndarray  # (B,) bool: GTSAM checkConvergence fired
+    # True when the lane STOPPED without converging: LM lambda exceeded
+    # lambda_max, Dogleg radius collapsed below delta_min, or a non-finite
+    # step appeared. GTSAM stopping != GTSAM converging — a gave_up lane
+    # must never be counted as a converged plan (headline metrics exclude
+    # it; see bench.py).
+    gave_up: jnp.ndarray = None  # (B,) bool
 
 
 class _State(NamedTuple):
@@ -93,6 +103,7 @@ class _State(NamedTuple):
     err: jnp.ndarray  # (B,)
     tr: jnp.ndarray  # (B,) lambda (LM) or trust radius (dogleg)
     converged: jnp.ndarray  # (B,)
+    gave_up: jnp.ndarray  # (B,)
     iters: jnp.ndarray  # (B,) accepted steps
     prev_traj: object  # pre-step values (for GN iter_no_increase)
     prev_err: jnp.ndarray
@@ -182,8 +193,8 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
             tr0 = jnp.zeros((B,), dtype)
         init_conv = err0 <= params.err_thresh
         return _State(
-            traj, lin0, err0, tr0, init_conv, jnp.zeros((B,), jnp.int32),
-            traj, err0,
+            traj, lin0, err0, tr0, init_conv, jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32), traj, err0,
         )
 
     def step(data, st: _State) -> _State:
@@ -192,7 +203,7 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
         residual/gather work vs a separate error evaluation), accept/reject
         per lane."""
         B, dtype = st.err.shape[0], st.err.dtype
-        active = ~st.converged & (st.iters < params.max_iter)
+        active = ~st.converged & ~st.gave_up & (st.iters < params.max_iter)
         H_diag, H_off, b, _ = st.lin
 
         if method == "gaussnewton":
@@ -244,9 +255,21 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
         lin = _mask_tree(accept, cand_lin, st.lin)
         err = jnp.where(accept, new_err, st.err)
         conv_now = accept & check_convergence(st.err, new_err)
-        converged = st.converged | conv_now | gave_up
+        converged = st.converged | conv_now
+        gave = st.gave_up | gave_up
         iters = st.iters + accept.astype(jnp.int32)
-        return _State(traj, lin, err, tr, converged, iters, prev_traj, prev_err)
+        if params.verbosity == "error":
+            # per-attempt trace (reference verbosity 'Error':
+            # TrajOptimizerSetting.h:21, BatchTrajOptimizer.cpp:235-282) —
+            # works in every loop mode via jax.debug.print.
+            jax.debug.print(
+                "[optimize] accepted {a}/{n} err(mean) {e:.6g} "
+                "tr(mean) {t:.4g} active {act} converged {c} gave_up {g}",
+                a=jnp.sum(accept), n=B, e=jnp.mean(err), t=jnp.mean(tr),
+                act=jnp.sum(active), c=jnp.sum(converged), g=jnp.sum(gave),
+            )
+        return _State(traj, lin, err, tr, converged, gave, iters,
+                      prev_traj, prev_err)
 
     return make_init, step
 
@@ -256,7 +279,9 @@ def _make_chunk(step: Callable, params: OptimizerParams):
 
     def chunk(data, st: _State):
         st = lax.fori_loop(0, csize, lambda i, s: step(data, s), st)
-        done = jnp.all(st.converged | (st.iters >= params.max_iter))
+        done = jnp.all(
+            st.converged | st.gave_up | (st.iters >= params.max_iter)
+        )
         return st, done
 
     return chunk
@@ -347,7 +372,9 @@ def optimize_batch(
             )
         else:
             def cond(s):
-                return jnp.any(~s.converged & (s.iters < params.max_iter))
+                return jnp.any(
+                    ~s.converged & ~s.gave_up & (s.iters < params.max_iter)
+                )
 
             st = lax.while_loop(
                 cond, lambda s: step(data, s), make_init(data, traj0)
@@ -359,5 +386,7 @@ def optimize_batch(
         traj = _mask_tree(increased, st.prev_traj, traj)
         err = jnp.where(increased, st.prev_err, err)
 
-    # lanes still unconverged after the loop: report converged=False
-    return OptResult(traj, err, st.iters, st.converged)
+    # lanes still unconverged after the loop: report converged=False;
+    # gave_up lanes (lambda blow-up / radius collapse / non-finite step)
+    # are reported separately and never as converged.
+    return OptResult(traj, err, st.iters, st.converged, st.gave_up)

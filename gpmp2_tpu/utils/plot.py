@@ -72,10 +72,10 @@ def plot_planar_arm(ax, fk, q, color="b", width=2):
 def plot_signed_distance_field_3d(ax, field, origin, cell_size,
                                   epsilon_dist=0.0, marker_size=8):
     """Scatter the cells within `epsilon_dist` of an obstacle surface
-    (plotSignedDistanceField3D.m: marks field <= epsilon_dist)."""
+    (plotSignedDistanceField3D.m: marks field < epsilon_dist, strict)."""
     f = np.asarray(field)  # (Z, Y, X)
     origin = np.asarray(origin)
-    z, y, x = np.nonzero(f <= epsilon_dist)
+    z, y, x = np.nonzero(f < epsilon_dist)
     xs = origin[0] + cell_size * x
     ys = origin[1] + cell_size * y
     zs = origin[2] + cell_size * z
@@ -100,10 +100,9 @@ def plot_planar_mobile_arm(ax, robot: RobotModel, pose, size=(0.4, 0.2),
     p = np.asarray(pose)
     plot_planar_mobile_base(ax, p[:3], size=size, color=color)
     poses = link_poses(robot.fk, p)
-    pts = np.asarray(poses.trans)
     # link 0 is the base frame; arm links follow (Pose2MobileArm.cpp:72-90)
-    arm_pts = np.concatenate([pts[:1], pts[1:]], axis=0)
-    ax.plot(arm_pts[:, 0], arm_pts[:, 1], "-o", color=color, markersize=3)
+    pts = np.asarray(poses.trans)
+    ax.plot(pts[:, 0], pts[:, 1], "-o", color=color, markersize=3)
 
 
 def plot_planar_mobile_2arms(ax, robot: RobotModel, pose, nr_links=(2, 2),

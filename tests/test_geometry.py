@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from gpmp2_tpu.geometry import se2, se3, so3
-from gpmp2_tpu.geometry.statespace import SE2Space, SE2VectorSpace, VectorSpace
+from gpmp2_tpu.geometry.statespace import SE2Space, SE2VectorSpace, SE3Space, VectorSpace
 
 
 def rng(seed=0):
@@ -174,6 +174,47 @@ class TestStateSpaces:
         r = rng(10)
         xs = jnp.asarray(r.normal(size=(16, 3)))
         deltas = jnp.asarray(0.1 * r.normal(size=(16, 3)))
+        ys = jax.vmap(space.retract)(xs, deltas)
+        back = jax.vmap(space.local)(xs, ys)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(deltas), atol=1e-9)
+
+
+class TestSE3Space:
+    """StateSpace kind 'se3' — gtsam::Pose3 trajectory states
+    (reference typedefs gp/GaussianProcessPriorPose3.h:15)."""
+
+    def test_retract_local_roundtrip(self):
+        space = SE3Space()
+        r = rng(11)
+        x = space.retract(space.identity(jnp.float64),
+                          jnp.asarray(r.normal(size=6)))
+        delta = jnp.asarray(0.4 * r.normal(size=6))
+        y = space.retract(x, delta)
+        np.testing.assert_allclose(np.asarray(space.local(x, y)), delta, atol=1e-9)
+        # storage stays a valid rotation
+        R = np.asarray(y[:9]).reshape(3, 3)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+
+    def test_matches_se3_module(self):
+        from gpmp2_tpu.geometry import se3
+
+        space = SE3Space()
+        r = rng(12)
+        xi = jnp.asarray(r.normal(size=6))
+        flat = space.expmap(xi)
+        p = se3.expmap(xi)
+        np.testing.assert_allclose(np.asarray(flat[:9]).reshape(3, 3),
+                                   np.asarray(p.rot), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(flat[9:]), np.asarray(p.trans),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(space.logmap(flat)),
+                                   np.asarray(xi), atol=1e-9)
+
+    def test_vmap_batch(self):
+        space = SE3Space()
+        r = rng(13)
+        xs = jax.vmap(space.expmap)(jnp.asarray(r.normal(size=(8, 6))))
+        deltas = jnp.asarray(0.2 * r.normal(size=(8, 6)))
         ys = jax.vmap(space.retract)(xs, deltas)
         back = jax.vmap(space.local)(xs, ys)
         np.testing.assert_allclose(np.asarray(back), np.asarray(deltas), atol=1e-9)

@@ -9,8 +9,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gpmp2_tpu.geometry import se2
-from gpmp2_tpu.geometry.statespace import SE2Space, SE2VectorSpace, VectorSpace
+from gpmp2_tpu.geometry import se2, se3
+from gpmp2_tpu.geometry.statespace import (
+    SE2Space,
+    SE2VectorSpace,
+    SE3Space,
+    VectorSpace,
+)
 from gpmp2_tpu.gp import (
     calc_lambda,
     calc_phi,
@@ -94,7 +99,26 @@ class TestGPPrior:
         err = gp_prior_error(space, x1, v, x2, v, dt)
         np.testing.assert_allclose(np.asarray(err), np.zeros(6), atol=1e-10)
 
-    @pytest.mark.parametrize("space", [SE2Space(), SE2VectorSpace(2)], ids=["se2", "se2xR2"])
+    def test_se3_zero_on_exp_trajectory(self):
+        """Pose3 GP prior is zero on a constant-twist trajectory —
+        mirrors GaussianProcessPriorPose3.h:15 (the Lie template on
+        gtsam::Pose3, error GaussianProcessPriorLie.h:71-85)."""
+        space = SE3Space()
+        x1 = space.retract(
+            space.identity(jnp.float64),
+            jnp.asarray([0.2, -0.1, 0.4, 1.0, 2.0, -0.5]),
+        )
+        v = jnp.asarray([0.3, 0.1, -0.2, 0.5, 0.0, 0.8])
+        dt = 0.6
+        x2 = space.compose(x1, space.expmap(v * dt))
+        err = gp_prior_error(space, x1, v, x2, v, dt)
+        np.testing.assert_allclose(np.asarray(err), np.zeros(12), atol=1e-10)
+
+    @pytest.mark.parametrize(
+        "space",
+        [SE2Space(), SE2VectorSpace(2), SE3Space()],
+        ids=["se2", "se2xR2", "se3"],
+    )
     def test_lie_jacobians_vs_fd(self, space):
         d = space.dim
         r = np.random.default_rng(2)
@@ -157,6 +181,24 @@ class TestInterpolation:
         np.testing.assert_allclose(np.asarray(pose), np.asarray(expect), atol=1e-8)
         np.testing.assert_allclose(np.asarray(vel), np.asarray(v), atol=1e-8)
 
+    def test_se3_constant_velocity_exact(self):
+        """Pose3 interpolation mirrors GaussianProcessInterpolatorPose3.h:15
+        (Lie template, GaussianProcessInterpolatorLie.h:64-146)."""
+        space = SE3Space()
+        Qc = jnp.eye(6, dtype=jnp.float64)
+        dt, tau = 1.0, 0.4
+        coeffs = interp_coeffs(Qc, dt, tau)
+        x1 = space.retract(
+            space.identity(jnp.float64),
+            jnp.asarray([0.1, 0.5, -0.3, 1.0, -2.0, 0.4]),
+        )
+        v = jnp.asarray([0.2, -0.1, 0.3, 1.0, 0.0, 0.7])
+        x2 = space.compose(x1, space.expmap(v * dt))
+        pose, vel = interpolate_state(space, coeffs, x1, v, x2, v)
+        expect = space.compose(x1, space.expmap(v * tau))
+        np.testing.assert_allclose(np.asarray(pose), np.asarray(expect), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(vel), np.asarray(v), atol=1e-8)
+
     def test_endpoint_consistency(self):
         Qc = 2.0 * jnp.eye(2, dtype=jnp.float64)
         dt = 0.8
@@ -169,3 +211,106 @@ class TestInterpolation:
         p1, ve1 = interpolate_state(space, interp_coeffs(Qc, dt, dt), x1, v1, x2, v2)
         np.testing.assert_allclose(np.asarray(p1), np.asarray(x2), atol=1e-8)
         np.testing.assert_allclose(np.asarray(ve1), np.asarray(v2), atol=1e-8)
+
+
+class TestSE3Chain:
+    """End-to-end Pose3 GP chain: endpoint priors + GP priors on SE(3)
+    optimize to machine precision (the reference's Pose3 typedef use case,
+    gpmp2.h:77-99; optimization pattern of
+    gp/tests/testGaussianProcessPriorPose3.cpp)."""
+
+    def test_pose3_gp_chain_optimizes(self):
+        from gpmp2_tpu.gp import calc_Q_inv
+        from gpmp2_tpu.planner.batch import _retract_traj
+        from gpmp2_tpu.planner.problem import Trajectory
+        from gpmp2_tpu.planner.traj_utils import init_traj_straight_line
+        from gpmp2_tpu.solver.optimize import OptimizerParams, optimize_batch
+
+        space = SE3Space()
+        d, n = 6, 6
+        m = 2 * d
+        dt = jnp.asarray(0.4, jnp.float64)
+        Qc = jnp.eye(6, dtype=jnp.float64)
+        W_gp = calc_Q_inv(Qc, dt)
+        L_gp = jnp.linalg.cholesky(W_gp)
+        sqrt_wp = 1e2  # prior sigma 1e-2
+
+        start = space.retract(
+            space.identity(jnp.float64),
+            jnp.asarray([0.3, -0.2, 0.5, 1.0, 2.0, -1.0]),
+        )
+        goal = space.retract(
+            space.identity(jnp.float64),
+            jnp.asarray([-0.4, 0.3, 1.2, 3.0, -1.0, 0.5]),
+        )
+        # endpoint velocities consistent with a constant-twist path, so the
+        # global minimum is exactly zero error (all residuals vanish on
+        # x_{i+1} = x_i Exp(v dt))
+        total_time = (n - 1) * float(dt)
+        v_const = space.local(start, goal) / total_time
+
+        def linearize(traj: Trajectory):
+            pose, vel = traj.pose[0], traj.vel[0]
+
+            def res(dz):
+                p = jax.vmap(space.retract)(pose, dz[:, :d])
+                v = vel + dz[:, d:]
+                gp = jax.vmap(
+                    lambda a, va, b, vb: gp_prior_error(space, a, va, b, vb, dt)
+                )(p[:-1], v[:-1], p[1:], v[1:])
+                return jnp.concatenate([
+                    sqrt_wp * space.local(start, p[0]),
+                    sqrt_wp * (v[0] - v_const),
+                    sqrt_wp * space.local(goal, p[-1]),
+                    sqrt_wp * (v[-1] - v_const),
+                    (gp @ L_gp.T).reshape(-1),
+                ])
+
+            z0 = jnp.zeros((n, m), jnp.float64)
+            J = jax.jacfwd(res)(z0).reshape(-1, n * m)
+            r = res(z0)
+            H = J.T @ J
+            b = -(J.T @ r)
+            err = 0.5 * jnp.sum(r * r)
+            H_diag = jnp.stack(
+                [H[i * m:(i + 1) * m, i * m:(i + 1) * m] for i in range(n)]
+            )
+            H_off = jnp.stack(
+                [H[i * m:(i + 1) * m, (i + 1) * m:(i + 2) * m] for i in range(n - 1)]
+            )
+            return H_diag[None], H_off[None], b.reshape(n, m)[None], err[None]
+
+        init = init_traj_straight_line(space, start, goal, n - 1, total_time)
+        # perturb the init so the solve does real work
+        r = np.random.default_rng(0)
+        init = Trajectory(
+            jax.vmap(space.retract)(
+                init.pose, jnp.asarray(0.2 * r.normal(size=(n, d)))
+            )[None],
+            (init.vel + jnp.asarray(0.1 * r.normal(size=(n, d))))[None],
+        )
+
+        res = optimize_batch(
+            linearize, None, lambda t, dlt: _retract_traj(space, t, dlt),
+            init,
+            # errorTol (GTSAM errorTol semantics): reaching the machine
+            # floor counts as converged, not gave-up
+            OptimizerParams(method="lm", rel_thresh=1e-14, abs_thresh=1e-15,
+                            err_thresh=1e-9, max_iter=100, loop="dynamic"),
+        )
+        assert bool(res.converged[0]) and not bool(res.gave_up[0])
+        # endpoints recovered to prior precision; total error near machine 0
+        assert float(res.error[0]) < 1e-9
+        p = res.traj.pose[0]
+        np.testing.assert_allclose(
+            np.asarray(space.local(start, p[0])), 0.0, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(space.local(goal, p[-1])), 0.0, atol=1e-8
+        )
+        # rotation blocks stay on SO(3)
+        R = np.asarray(p[:, :9]).reshape(n, 3, 3)
+        np.testing.assert_allclose(
+            R @ np.transpose(R, (0, 2, 1)), np.broadcast_to(np.eye(3), (n, 3, 3)),
+            atol=1e-10,
+        )

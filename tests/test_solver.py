@@ -154,3 +154,57 @@ class TestOptimizer:
         lin, err, ret, x0, _ = self._setup_quadratic(seed=5)
         res = optimize_batch(lin, err, ret, x0, OptimizerParams(method="lm"))
         assert bool(jnp.all(res.error <= err(x0) + 1e-12))
+
+    def _setup_mixed_infeasible(self):
+        """Lane 0: easy quadratic. Lane 1: constant error with a bogus
+        gradient — no step can ever decrease it, so LM must raise lambda
+        past lambda_max and report gave_up (NOT converged)."""
+        n, m = 2, 1
+        target = jnp.ones((n, m))
+
+        def error_fn(x):
+            e0 = 0.5 * jnp.sum((x[0] - target) ** 2)
+            e1 = jnp.asarray(1.0, x.dtype)
+            return jnp.stack([e0, e1])
+
+        def linearize_fn(x):
+            eye = jnp.broadcast_to(jnp.eye(m), (2, n, m, m))
+            b0 = -(x[0] - target)
+            b1 = jnp.ones((n, m))  # bogus: points nowhere useful
+            b = jnp.stack([b0, b1])
+            H_off = jnp.zeros((2, n - 1, m, m))
+            return eye, H_off, b, error_fn(x)
+
+        return linearize_fn, error_fn, lambda x, d: x + d, jnp.zeros((2, n, m))
+
+    def test_gave_up_separated_from_converged(self):
+        lin, err, ret, x0 = self._setup_mixed_infeasible()
+        for loop in ("chunked", "static", "dynamic"):
+            res = optimize_batch(
+                lin, err, ret, x0, OptimizerParams(method="lm", loop=loop)
+            )
+            conv = np.asarray(res.converged)
+            gave = np.asarray(res.gave_up)
+            assert conv[0] and not gave[0], loop
+            assert gave[1] and not conv[1], loop
+            # the infeasible lane's error is untouched
+            np.testing.assert_allclose(float(res.error[1]), 1.0)
+
+    def test_gave_up_dogleg_radius_collapse(self):
+        lin, err, ret, x0 = self._setup_mixed_infeasible()
+        res = optimize_batch(
+            lin, err, ret, x0,
+            OptimizerParams(method="dogleg", max_iter=60, reject_budget=30),
+        )
+        assert bool(res.gave_up[1]) and not bool(res.converged[1])
+        assert bool(res.converged[0]) and not bool(res.gave_up[0])
+
+    def test_verbosity_error_trace(self, capfd):
+        lin, err, ret, x0, _ = self._setup_quadratic()
+        res = optimize_batch(
+            lin, err, ret, x0,
+            OptimizerParams(method="lm", verbosity="error"),
+        )
+        jax.effects_barrier()
+        out = capfd.readouterr().out
+        assert "[optimize]" in out and "err(mean)" in out
