@@ -74,6 +74,9 @@ def generate_3d_dataset(name: str) -> Dataset3D:
             ([250, 90, 145], [60, 5, 190]),
             ([200, 190, 145], [40, 5, 190]),
             ([250, 140, 240], [60, 100, 5]),
+            ([250, 140, 190], [60, 100, 5]),
+            ([250, 140, 140], [60, 100, 5]),
+            ([250, 140, 90], [60, 100, 5]),
         ]
         for pos, size in boxes:
             occ, corner = add_obstacle_3d(pos, size, occ, corner)

@@ -21,15 +21,31 @@ and SignedDistanceField.h (3D, trilinear). Semantics preserved exactly:
 
 Both field types are NamedTuple pytrees -> they vmap/shard and live in HBM;
 a batch axis on `data` gives per-problem worlds.
+
+Corner-packed layout (`packed` field, built by `pack_sdf`/`pack_planar_sdf`):
+TPU gathers cost per gathered ELEMENT, not per byte — the 8 scattered
+corner reads of a trilinear lookup measure ~5x slower than a single read
+(see profile_gather.py). Packing every cell's 8 (2D: 4) interpolation
+corners contiguously turns the lookup into ONE row gather:
+`take(packed (L, 8), base, axis=0)` — measured ~4-6x faster on v5e at the
+WAM bench shape, at the price of 8x field memory. `make_problem` packs
+shared (unbatched) worlds automatically under a memory budget.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-__all__ = ["PlanarSDF", "SignedDistanceField", "planar_sdf_lookup", "sdf_lookup"]
+__all__ = [
+    "PlanarSDF",
+    "SignedDistanceField",
+    "planar_sdf_lookup",
+    "sdf_lookup",
+    "pack_sdf",
+    "pack_planar_sdf",
+]
 
 
 class PlanarSDF(NamedTuple):
@@ -38,6 +54,7 @@ class PlanarSDF(NamedTuple):
     origin: jnp.ndarray  # (2,) world coords of cell (0, 0)
     cell_size: jnp.ndarray  # scalar
     data: jnp.ndarray  # (rows, cols)
+    packed: Optional[jnp.ndarray] = None  # (rows*cols, 4) corner-packed
 
 
 class SignedDistanceField(NamedTuple):
@@ -46,10 +63,42 @@ class SignedDistanceField(NamedTuple):
     origin: jnp.ndarray  # (3,)
     cell_size: jnp.ndarray  # scalar
     data: jnp.ndarray  # (z, rows, cols)
+    packed: Optional[jnp.ndarray] = None  # (z*rows*cols, 8) corner-packed
 
 
-def _clip_idx(i, n):
-    return jnp.clip(i, 0, n - 1)
+def _corner_offsets_3d(rows, cols):
+    # order matches the unpack in sdf_lookup: d000 d010 d001 d011 d100 ...
+    rc = rows * cols
+    return [0, cols, 1, cols + 1, rc, rc + cols, rc + 1, rc + cols + 1]
+
+
+def pack_sdf(sdf: SignedDistanceField) -> SignedDistanceField:
+    """Return `sdf` with the corner-packed table filled (device-side build,
+    no host round-trip). packed[l, k] = flat[l + off_k] with wraparound at
+    the top boundary — safe because clamped lookup coordinates give those
+    corners exactly-zero interpolation weight (see sdf_lookup)."""
+    if sdf.packed is not None:
+        return sdf
+    nz, rows, cols = sdf.data.shape[-3:]
+    flat = sdf.data.reshape(sdf.data.shape[:-3] + (-1,))
+    packed = jnp.stack(
+        [jnp.roll(flat, -off, axis=-1) for off in _corner_offsets_3d(rows, cols)],
+        axis=-1,
+    )
+    return sdf._replace(packed=packed)
+
+
+def pack_planar_sdf(sdf: PlanarSDF) -> PlanarSDF:
+    """2D analog of `pack_sdf`: packed[l] = 4 bilinear corners of cell l."""
+    if sdf.packed is not None:
+        return sdf
+    cols = sdf.data.shape[-1]
+    flat = sdf.data.reshape(sdf.data.shape[:-2] + (-1,))
+    packed = jnp.stack(
+        [jnp.roll(flat, -off, axis=-1) for off in (0, cols, 1, cols + 1)],
+        axis=-1,
+    )
+    return sdf._replace(packed=packed)
 
 
 def planar_sdf_lookup(sdf: PlanarSDF, point):
@@ -69,25 +118,29 @@ def planar_sdf_lookup(sdf: PlanarSDF, point):
         (x >= 0.0) & (x <= cols - 1.0) & (y >= 0.0) & (y <= rows - 1.0)
     )
 
-    # clamp so gathers stay in-bounds; results are masked by in_range anyway
+    # clamp the LOW cell corner to size-2 and take the fraction against it:
+    # at the exact top boundary fx/fy become 1.0, so the interpolation uses
+    # the last interior cell (one-sided) — every corner index is genuinely
+    # in-bounds and the interpolant's gradient stays meaningful there (the
+    # reference indexes one past the end in that case, which is UB).
     xc = jnp.clip(x, 0.0, cols - 1.0)
     yc = jnp.clip(y, 0.0, rows - 1.0)
-    lc = jnp.floor(xc)
-    lr = jnp.floor(yc)
-    lci = _clip_idx(lc.astype(jnp.int32), cols)
-    lri = _clip_idx(lr.astype(jnp.int32), rows)
-    hci = _clip_idx(lci + 1, cols)
-    hri = _clip_idx(lri + 1, rows)
+    lci = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, cols - 2)
+    lri = jnp.clip(jnp.floor(yc).astype(jnp.int32), 0, rows - 2)
 
-    fx = xc - lc  # in [0, 1)
-    fy = yc - lr
+    fx = xc - lci.astype(xc.dtype)  # in [0, 1]
+    fy = yc - lri.astype(yc.dtype)
 
     # fused 4-corner gather from the flattened field (see the 3D variant
-    # for the boundary-safety argument)
-    flat = sdf.data.reshape(-1)
+    # for the boundary-safety argument); one row gather when packed
     base = lri * cols + lci
-    corner_offs = jnp.asarray([0, cols, 1, cols + 1], jnp.int32)
-    vals = jnp.take(flat, base[..., None] + corner_offs)
+    if sdf.packed is not None:
+        vals = jnp.take(sdf.packed.reshape(-1, 4), base, axis=0,
+                        mode="clip")
+    else:
+        flat = sdf.data.reshape(-1)
+        corner_offs = jnp.asarray([0, cols, 1, cols + 1], jnp.int32)
+        vals = jnp.take(flat, base[..., None] + corner_offs, mode="clip")
     d00, d10, d01, d11 = (
         vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3],
     )
@@ -127,35 +180,34 @@ def sdf_lookup(sdf: SignedDistanceField, point):
         & (z <= nz - 1.0)
     )
 
+    # low corner clamped to size-2, fraction against it (see the 2D variant
+    # for the boundary rationale) — all 8 corners genuinely in-bounds
     xc = jnp.clip(x, 0.0, cols - 1.0)
     yc = jnp.clip(y, 0.0, rows - 1.0)
     zc = jnp.clip(z, 0.0, nz - 1.0)
-    lc, lr, lz = jnp.floor(xc), jnp.floor(yc), jnp.floor(zc)
-    lci = _clip_idx(lc.astype(jnp.int32), cols)
-    lri = _clip_idx(lr.astype(jnp.int32), rows)
-    lzi = _clip_idx(lz.astype(jnp.int32), nz)
-    hci = _clip_idx(lci + 1, cols)
-    hri = _clip_idx(lri + 1, rows)
-    hzi = _clip_idx(lzi + 1, nz)
+    lci = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, cols - 2)
+    lri = jnp.clip(jnp.floor(yc).astype(jnp.int32), 0, rows - 2)
+    lzi = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, nz - 2)
 
-    fx, fy, fz = xc - lc, yc - lr, zc - lz
+    fx = xc - lci.astype(xc.dtype)
+    fy = yc - lri.astype(yc.dtype)
+    fz = zc - lzi.astype(zc.dtype)
 
-    # One fused gather of all 8 cell corners from the flattened field: a
-    # single 1-D take lowers to a far cheaper TPU gather than 8 multi-dim
-    # advanced-indexing gathers. Corner offsets use the clamped low corner
-    # as base; +1 offsets may point one past a boundary row only when the
-    # matching interpolation weight is exactly zero (coordinates are
-    # clamped so fx/fy/fz = 0 there), and jnp.take clips out-of-range
-    # linear indices, so the reads are safe and the masked values unused.
-    flat = sdf.data.reshape(-1)
+    # One fused gather of all 8 cell corners: either a single row gather
+    # from the corner-packed table (fastest, ~memory bandwidth), or one
+    # 1-D take of 8 scattered elements (still far cheaper on TPU than 8
+    # multi-dim advanced-indexing gathers).
     base = (lzi * rows + lri) * cols + lci
-    corner_offs = jnp.asarray(
-        [0, cols, 1, cols + 1,
-         rows * cols, rows * cols + cols, rows * cols + 1,
-         rows * cols + cols + 1],
-        jnp.int32,
-    )
-    vals = jnp.take(flat, base[..., None] + corner_offs)  # (..., 8)
+    if sdf.packed is not None:
+        # corner-packed table: ONE row gather instead of 8 scattered
+        # element gathers (see module docstring)
+        vals = jnp.take(sdf.packed.reshape(-1, 8), base, axis=0,
+                        mode="clip")
+    else:
+        flat = sdf.data.reshape(-1)
+        corner_offs = jnp.asarray(_corner_offsets_3d(rows, cols), jnp.int32)
+        vals = jnp.take(flat, base[..., None] + corner_offs,
+                        mode="clip")  # (..., 8)
     d000, d010, d001, d011, d100, d110, d101, d111 = (
         vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3],
         vals[..., 4], vals[..., 5], vals[..., 6], vals[..., 7],

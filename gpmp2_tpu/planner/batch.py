@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kinematics.robot import RobotModel
-from ..obstacle.sdf import PlanarSDF
+from ..obstacle.sdf import (PlanarSDF, SignedDistanceField, pack_planar_sdf,
+                            pack_sdf)
 from ..solver.optimize import OptimizerParams, OptResult, optimize_batch
 from .problem import Trajectory, TrajProblem, collision_cost, traj_error, traj_linearize
 from .settings import TrajOptimizerSetting
@@ -40,6 +41,23 @@ __all__ = [
     "collision_cost_batch",
     "optimizer_params_from_setting",
 ]
+
+
+def _maybe_pack_sdf(sdf, sdf_pack: Optional[bool]):
+    import os
+
+    if sdf_pack is False or getattr(sdf, "packed", None) is not None:
+        return sdf
+    is_planar = isinstance(sdf, PlanarSDF)
+    if sdf_pack is None:
+        # NOTE: the budget is on the TOTAL packed-table bytes, so a large
+        # per-problem world batch may fall on the other side of it than a
+        # single world — pass sdf_pack explicitly when mixing the two.
+        budget = int(os.environ.get("GPMP2_TPU_SDF_PACK_BUDGET", 2 << 30))
+        factor = 4 if is_planar else 8
+        if sdf.data.nbytes * factor > budget:
+            return sdf
+    return pack_planar_sdf(sdf) if is_planar else pack_sdf(sdf)
 
 
 def make_problem(
@@ -60,6 +78,7 @@ def make_problem(
     goal_point=None,
     goal_sigma: float = 1e-3,
     dtype=None,
+    sdf_pack: Optional[bool] = None,
 ) -> TrajProblem:
     """Build a TrajProblem from a reference-style setting.
 
@@ -98,6 +117,11 @@ def make_problem(
         sc_eps = jnp.zeros((0,), dtype)
         sc_w = jnp.zeros((0,), dtype)
         flag_sc = False
+
+    # corner-pack shared worlds for the fast single-row-gather lookup
+    # (sdf.py module docstring). Auto (None): pack unbatched fields whose
+    # packed table fits the budget; True forces, False disables.
+    sdf = _maybe_pack_sdf(sdf, sdf_pack)
 
     dt = setting.total_time / setting.total_step
     inter = setting.obs_check_inter
@@ -285,8 +309,8 @@ def batch_traj_optimize(
         **problem_kwargs,
     )
     template = make_problem(
-        robot, sdf, start_pose[0], start_vel[0], end_pose[0], end_vel[0],
-        setting, **problem_kwargs,
+        robot, probs.sdf, start_pose[0], start_vel[0], end_pose[0],
+        end_vel[0], setting, **problem_kwargs,
     )
     axes = infer_batch_axes(probs, template)
 

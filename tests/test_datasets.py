@@ -85,7 +85,7 @@ class TestPresets:
     def test_wam_desk_dataset(self):
         ds = generate_3d_dataset("WAMDeskDataset")
         assert ds.map.shape == (300, 300, 300)
-        assert ds.corner_idx.shape == (9, 6)
+        assert ds.corner_idx.shape == (12, 6)
         sdf = sdf_from_occupancy(ds.origin, ds.cell_size, ds.map,
                                  dtype=jnp.float64)
         assert sdf.data.shape == (300, 300, 300)

@@ -139,3 +139,65 @@ class TestHinge:
         assert float(g) == -1.0
         g0 = jax.grad(lambda x: hinge_loss(x, 0.2, jnp.asarray(True)))(jnp.asarray(0.5))
         assert float(g0) == 0.0
+
+
+class TestPacked:
+    """Corner-packed layout must reproduce the scattered-gather lookup
+    exactly, everywhere in range (including the clamped top boundary)."""
+
+    def test_packed_3d_matches_unpacked(self):
+        from gpmp2_tpu.obstacle.sdf import pack_sdf
+
+        sdf, data = make_3d()
+        packed = pack_sdf(sdf)
+        assert packed.packed.shape == (3 * 4 * 5, 8)
+        r = np.random.default_rng(7)
+        # interior, boundary-exact, and out-of-range points
+        pts = np.concatenate([
+            r.uniform([-1.0, -2.0, 0.5], [1.0, -0.5, 1.5], size=(64, 3)),
+            [[-1.0 + 4 * 0.5, -2.0 + 3 * 0.5, 0.5 + 2 * 0.5]],  # top corner
+            [[5.0, 0.0, 0.0]],
+        ])
+        d0, g0, ok0 = sdf_lookup(sdf, jnp.asarray(pts))
+        d1, g1, ok1 = sdf_lookup(packed, jnp.asarray(pts))
+        np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+        m = np.asarray(ok0)
+        np.testing.assert_allclose(np.asarray(d0)[m], np.asarray(d1)[m],
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(g0)[m], np.asarray(g1)[m],
+                                   atol=1e-12)
+
+    def test_packed_planar_matches_unpacked(self):
+        from gpmp2_tpu.obstacle.sdf import pack_planar_sdf
+
+        sdf, data = make_planar()
+        packed = pack_planar_sdf(sdf)
+        assert packed.packed.shape == (4 * 5, 4)
+        r = np.random.default_rng(8)
+        pts = np.concatenate([
+            r.uniform([-1.0, -2.0], [1.0, -0.5], size=(64, 2)),
+            [[-1.0 + 4 * 0.5, -2.0 + 3 * 0.5]],  # exact top corner
+        ])
+        d0, g0, ok0 = planar_sdf_lookup(sdf, jnp.asarray(pts))
+        d1, g1, ok1 = planar_sdf_lookup(packed, jnp.asarray(pts))
+        np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+        m = np.asarray(ok0)
+        np.testing.assert_allclose(np.asarray(d0)[m], np.asarray(d1)[m],
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(g0)[m], np.asarray(g1)[m],
+                                   atol=1e-12)
+
+    def test_make_problem_autopacks(self):
+        from gpmp2_tpu.planner import TrajOptimizerSetting, make_problem
+        from gpmp2_tpu.robots import generate_arm
+
+        arm = generate_arm("SimpleTwoLinksArm")
+        sdf, _ = make_planar()
+        setting = TrajOptimizerSetting(dof=2)
+        prob = make_problem(arm, sdf, jnp.zeros(2), jnp.zeros(2),
+                            jnp.ones(2), jnp.zeros(2), setting)
+        assert prob.sdf.packed is not None
+        prob2 = make_problem(arm, sdf, jnp.zeros(2), jnp.zeros(2),
+                             jnp.ones(2), jnp.zeros(2), setting,
+                             sdf_pack=False)
+        assert prob2.sdf.packed is None
