@@ -1,5 +1,7 @@
 """Device-mesh scale-out (no reference analog; SURVEY.md section 2.11)."""
 
-from .mesh import batch_sharding, make_mesh, replicate, shard_problems
+from .mesh import (batch_sharding, fleet_stats, make_mesh, replicate,
+                   shard_problems)
 
-__all__ = ["make_mesh", "shard_problems", "batch_sharding", "replicate"]
+__all__ = ["make_mesh", "shard_problems", "batch_sharding", "replicate",
+           "fleet_stats"]

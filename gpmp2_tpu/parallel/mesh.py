@@ -25,7 +25,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_problems", "replicate", "batch_sharding"]
+__all__ = ["make_mesh", "shard_problems", "replicate", "batch_sharding",
+           "fleet_stats"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("dp",),
@@ -75,13 +76,49 @@ def shard_problems(mesh: Mesh, problems, traj, problem_axes, axis: str = "dp"):
     return problems, traj
 
 
+def fleet_stats(mesh: Mesh, result, axis: str = "dp"):
+    """Fleet-wide statistics of a sharded OptResult, reduced ON DEVICE with
+    explicit `psum` collectives over the mesh axis (each device reduces its
+    local shard, then one small all-reduce rides ICI — no gather of the
+    full batch to any host).
+
+    Returns a dict of replicated scalars:
+      n, converged, gave_up, mean_error, mean_iters.
+    """
+    import jax.numpy as jnp
+    from jax import lax, shard_map
+
+    spec = P(axis)
+
+    def stats(err, conv, gave, iters):
+        local = jnp.stack([
+            jnp.sum(conv.astype(err.dtype)),
+            jnp.sum(gave.astype(err.dtype)),
+            jnp.sum(err),
+            jnp.sum(iters.astype(err.dtype)),
+            jnp.asarray(err.shape[0], err.dtype),  # local shard size
+        ])
+        return lax.psum(local, axis)
+
+    tot = shard_map(
+        stats, mesh=mesh, in_specs=(spec, spec, spec, spec), out_specs=P()
+    )(result.error, result.converged, result.gave_up, result.iterations)
+    n = tot[4]
+    return {
+        "n": n,
+        "converged": tot[0],
+        "gave_up": tot[1],
+        "mean_error": tot[2] / n,
+        "mean_iters": tot[3] / n,
+    }
+
+
 def _flatten_axes_like(axes_tree, value_tree):
-    """Flatten an in_axes tree produced leaf-for-leaf by infer_batch_axes
-    (None leaves mean broadcast), aligned with the value pytree's leaves."""
-    ax_flat = jax.tree_util.tree_flatten(axes_tree, is_leaf=lambda x: x is None)[0]
-    n_vals = len(jax.tree_util.tree_leaves(value_tree))
-    if len(ax_flat) != n_vals:
-        raise ValueError(
-            f"axes tree has {len(ax_flat)} leaves but value tree has {n_vals}"
-        )
-    return ax_flat
+    """Flatten an in_axes tree (None leaves mean broadcast) against the
+    value pytree, exactly as vmap does — robust to None VALUE leaves (e.g.
+    an unpacked SDF's `packed=None`), which vanish from the value pytree
+    but not from a naive is_leaf=None flatten of the axes tree."""
+    from jax.api_util import flatten_axes
+
+    treedef = jax.tree_util.tree_flatten(value_tree)[1]
+    return flatten_axes("shard_problems problem_axes", treedef, axes_tree)

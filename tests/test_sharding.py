@@ -71,3 +71,39 @@ class TestSharding:
     def test_mesh_shapes(self):
         mesh = make_mesh(shape=(4, 2), axis_names=("dp", "ts"))
         assert mesh.devices.shape == (4, 2)
+
+    def test_fleet_stats_psum(self):
+        """On-device psum'd fleet statistics match host-side reductions,
+        and work both with a packed and an UNPACKED shared SDF (the
+        `packed=None` leaf regression in shard_problems axes flattening)."""
+        from gpmp2_tpu.parallel import fleet_stats
+
+        probs, axes, init, params = _setup(B=16)
+        mesh = make_mesh(axis_names=("dp",))
+        probs_s, init_s = shard_problems(mesh, probs, init, axes)
+
+        @jax.jit
+        def solve(p, t):
+            res = plan_batch(p, t, params, axes)
+            return res, fleet_stats(mesh, res)
+
+        res, stats = solve(probs_s, init_s)
+        assert float(stats["n"]) == 16
+        assert float(stats["converged"]) == float(
+            np.asarray(res.converged).sum())
+        assert float(stats["gave_up"]) == float(np.asarray(res.gave_up).sum())
+        np.testing.assert_allclose(
+            float(stats["mean_error"]), float(np.asarray(res.error).mean()),
+            rtol=1e-6)
+
+    def test_shard_problems_with_unpacked_sdf(self):
+        """packed=None shared world: axes flattening must not drift
+        (jax flatten_axes semantics, not naive None-is-leaf counting)."""
+        import dataclasses as dc
+        probs, axes, init, params = _setup(B=16)
+        probs_u = dc.replace(probs, sdf=probs.sdf._replace(packed=None))
+        mesh = make_mesh(axis_names=("dp",))
+        probs_s, init_s = shard_problems(mesh, probs_u, init, axes)
+        res = jax.jit(lambda p, t: plan_batch(p, t, params, axes))(
+            probs_s, init_s)
+        assert bool(np.isfinite(np.asarray(res.error)).all())
