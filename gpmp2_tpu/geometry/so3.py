@@ -85,15 +85,22 @@ def logmap(R):
     # antisymmetric part -> axis * 2 sin(theta)
     v = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     cos_theta = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # Generic case: w = theta / (2 sin(theta)) * v
-    sin_theta = jnp.sin(theta)
-    generic = jnp.where(
-        theta < 1e-6,
-        # small angle: w ~ v/2 * (1 + theta^2/12)
-        0.5 * (1.0 + theta * theta / 12.0) * v,
-        theta / (2.0 * jnp.where(jnp.abs(sin_theta) < _EPS, _EPS, sin_theta)) * v,
-    )
+    # AD-safety (double-where): every branch below must have finite
+    # gradients for ALL inputs, selected or not — arccos'(+-1) and
+    # sqrt'(0) are infinite and a single inf in an unselected branch
+    # poisons the whole where() gradient (this bit a workspace-orientation
+    # prior whose initial EE orientation equals the target exactly).
+    eps_clip = 1e-6 if R.dtype == jnp.float32 else 1e-12
+    near_id = cos_theta > 1.0 - 1e-6  # theta < ~1.4e-3
+    cos_safe = jnp.clip(cos_theta, -1.0 + eps_clip, 1.0 - eps_clip)
+    theta = jnp.arccos(cos_safe)
+    sin_theta = jnp.sin(theta)  # >= ~sqrt(2*eps_clip) by the clip
+    generic = theta / (2.0 * sin_theta) * v
+    # small angle: theta^2 ~ |v|^2/4 (|v| = 2 sin theta); smooth in R, and
+    # more accurate than arccos near 1 where arccos loses half the bits
+    t2 = 0.25 * jnp.dot(v, v)
+    small_w = 0.5 * (1.0 + t2 / 12.0) * v
+    w = jnp.where(near_id, small_w, generic)
     # Near pi: use diagonal-based extraction.
     # S = (R + R^T)/2 = I + (1 - cos t)(aa^T - I), so
     #   a_k^2 = (S_kk - cos t) / (1 - cos t),
@@ -101,6 +108,7 @@ def logmap(R):
     S = 0.5 * (R + R.T)
     one_minus_cos = jnp.maximum(1.0 - cos_theta, _EPS)
     diag = jnp.clip((jnp.diagonal(S) - cos_theta) / one_minus_cos, 0.0, 1.0)
+    diag = jnp.where(diag < _EPS, _EPS, diag)  # sqrt'(0) is inf
     axis_abs = jnp.sqrt(diag)
     k = jnp.argmax(axis_abs)
     col = S[:, k] / (one_minus_cos * jnp.where(axis_abs[k] < _EPS, _EPS, axis_abs[k]))
@@ -111,7 +119,7 @@ def logmap(R):
     # sin(theta) >= 0 for theta in (0, pi], so align axis with v when v != 0.
     sign = jnp.where(jnp.dot(axis, v) < 0.0, -1.0, 1.0)
     near_pi_w = theta * axis * sign
-    return jnp.where(theta > jnp.pi - 1e-4, near_pi_w, generic)
+    return jnp.where(theta > jnp.pi - 1e-4, near_pi_w, w)
 
 
 def left_jacobian(w):

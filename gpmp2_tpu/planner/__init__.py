@@ -9,6 +9,16 @@ from .batch import (
     plan_batch,
 )
 from .isam2 import ISAM2TrajOptimizer
+from .multigraph import (
+    MultiGraphProblem,
+    build_planner_graph,
+    edge_costs,
+    make_multigraph_problem,
+    multigraph_error,
+    optimize_multigraph,
+    sample_initializations,
+    shortest_path,
+)
 from .problem import Trajectory, TrajProblem, collision_cost, traj_error, traj_linearize
 from .settings import TrajOptimizerSetting
 from .traj_utils import init_traj_straight_line, interpolate_traj
@@ -29,4 +39,12 @@ __all__ = [
     "interpolate_traj",
     "infer_batch_axes",
     "ISAM2TrajOptimizer",
+    "MultiGraphProblem",
+    "sample_initializations",
+    "build_planner_graph",
+    "make_multigraph_problem",
+    "multigraph_error",
+    "optimize_multigraph",
+    "edge_costs",
+    "shortest_path",
 ]

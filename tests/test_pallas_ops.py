@@ -67,3 +67,28 @@ def test_dispatch_fallback_matches(monkeypatch):
     x_ref = jax.vmap(lambda d, u, bb: block_tridiag_solve(d, u, bb))(D, U, b)
     x = batched_block_tridiag_solve(D, U, b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=0, atol=0)
+
+
+def test_pallas_on_real_tpu():
+    """Compiled-kernel parity on the actual TPU (VERDICT r1: interpret mode
+    alone can hide lowering bugs). Runs tpu_pallas_check.py in a subprocess
+    because this suite's conftest pins the CPU backend; skips when the
+    session has no TPU."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "tpu_pallas_check.py")
+    # strip the conftest's forced host-device XLA_FLAGS; keep JAX_PLATFORMS
+    # (the TPU tunnel backend) as the session launched it
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(script))
+    out = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True,
+        timeout=900, env=env,
+    )
+    tail = (out.stdout + out.stderr).strip().splitlines()
+    if any(line.startswith("SKIP") for line in tail):
+        pytest.skip("no TPU backend reachable")
+    assert out.returncode == 0, "\n".join(tail[-12:])
+    assert any(line == "OK" for line in tail), "\n".join(tail[-12:])
