@@ -8,7 +8,7 @@ from .batch import (
     optimizer_params_from_setting,
     plan_batch,
 )
-from .isam2 import ISAM2TrajOptimizer
+from .isam2 import ISAM2BatchSessions, ISAM2TrajOptimizer
 from .multigraph import (
     MultiGraphProblem,
     build_planner_graph,
@@ -39,6 +39,7 @@ __all__ = [
     "interpolate_traj",
     "infer_batch_axes",
     "ISAM2TrajOptimizer",
+    "ISAM2BatchSessions",
     "MultiGraphProblem",
     "sample_initializations",
     "build_planner_graph",

@@ -30,12 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kinematics.robot import RobotModel
-from ..solver.optimize import OptimizerParams, optimize_batch
-from .batch import make_problem, infer_batch_axes, _retract_traj
-from .problem import Trajectory, TrajProblem, traj_error, traj_linearize
+from ..solver.optimize import OptimizerParams
+from .batch import make_problem, plan_batch
+from .problem import Trajectory, TrajProblem
 from .settings import TrajOptimizerSetting
 
-__all__ = ["ISAM2TrajOptimizer"]
+__all__ = ["ISAM2TrajOptimizer", "ISAM2BatchSessions"]
 
 
 class ISAM2TrajOptimizer:
@@ -61,13 +61,19 @@ class ISAM2TrajOptimizer:
         # but each update() here is a warm-started re-solve with the
         # setting's optimizer: damped steps (LM default) navigate the hinge
         # kinks that stall plain GN, and warm starts make updates cheap.
+        # warm_iter: small per-update iteration budget — warm starts from
+        # the previous estimate converge in 1-3 accepted steps, so the
+        # chunked loop's host early-exit makes updates far cheaper than a
+        # cold solve at the full setting.max_iter.
         self._params = OptimizerParams(
             method=setting.opt_type,
             max_iter=setting.max_iter,
             rel_thresh=setting.rel_thresh,
             iter_no_increase=True,
+            loop="chunked",
+            chunk_size=4,
+            reject_budget=4,
         )
-        self._solve = None  # jitted on first update
 
     # ---- graph construction (initFactorGraph, -inl.h:27-88) -------------
 
@@ -86,27 +92,17 @@ class ISAM2TrajOptimizer:
 
     def update(self):
         """Re-solve warm-started from the current estimate
-        (ISAM2TrajOptimizer-inl.h:102-115)."""
+        (ISAM2TrajOptimizer-inl.h:102-115). Routes through plan_batch so
+        the jitted chunks are cached MODULE-WIDE (keyed by the axes pytree
+        + stable function identities) — new session objects reuse the
+        compiled program instead of re-jitting."""
         assert self._prob is not None and self._traj is not None
-        if self._solve is None:
-            space = self._robot.space
-
-            def solve(prob, traj):
-                probs = jax.tree_util.tree_map(lambda x: x[None], prob)
-                axes = jax.tree_util.tree_map(lambda x: 0, probs)
-                lin = jax.vmap(traj_linearize)
-                err = jax.vmap(traj_error)
-                res = optimize_batch(
-                    lambda t: lin(probs, t),
-                    lambda t: err(probs, t),
-                    partial(_retract_traj, space),
-                    Trajectory(traj.pose[None], traj.vel[None]),
-                    self._params,
-                )
-                return Trajectory(res.traj.pose[0], res.traj.vel[0]), res.error[0]
-
-            self._solve = jax.jit(solve)
-        self._traj, self._err = self._solve(self._prob, self._traj)
+        probs = jax.tree_util.tree_map(lambda x: x[None], self._prob)
+        axes = jax.tree_util.tree_map(lambda x: 0, probs)
+        traj = Trajectory(self._traj.pose[None], self._traj.vel[None])
+        res = plan_batch(probs, traj, self._params, axes)
+        self._traj = Trajectory(res.traj.pose[0], res.traj.vel[0])
+        self._err = res.error[0]
 
     def change_goal_config_and_vel(self, goal_pose, goal_vel):
         """Swap the goal priors (-inl.h:121-140: remove cached goal factor,
@@ -195,3 +191,138 @@ class ISAM2TrajOptimizer:
                 jnp.asarray(vel_w, dtype)
             ),
         )
+
+
+class ISAM2BatchSessions:
+    """A fleet of independent replanning sessions optimized as ONE jitted
+    batched program — the serving-side shape of incremental replanning
+    (BASELINE config 5). Each lane is a session: its own start/goal, its
+    own executed-state pins, all sharing robot + SDF.
+
+    The reference runs one gtsam::ISAM2 per session on one core; here the
+    whole fleet's warm-started masked re-solve is a single vmapped
+    chunk-jitted solve with host early exit, so an update() costs roughly
+    one batched linearize+solve per accepted step — thousands of session
+    updates per second on one chip (bench_replan.py).
+
+    Ops mirror ISAM2TrajOptimizer lane-wise; per-lane arguments carry a
+    leading batch axis.
+    """
+
+    def __init__(self, robot: RobotModel, sdf, setting: TrajOptimizerSetting,
+                 batch: int, max_fixed: Optional[int] = None,
+                 chunk_size: int = 2):
+        self._robot = robot
+        self._sdf = sdf
+        self._setting = setting
+        self._B = batch
+        self._K = max_fixed if max_fixed is not None else 2 * (setting.total_step + 1)
+        self._slot = np.zeros(batch, np.int32)
+        self._probs: Optional[TrajProblem] = None
+        self._axes = None
+        self._traj: Optional[Trajectory] = None
+        # chunk_size 2: warm-started updates typically accept 1-2 steps, so
+        # small chunks + host early exit waste the fewest linearizes
+        self._params = OptimizerParams(
+            method=setting.opt_type,
+            max_iter=setting.max_iter,
+            rel_thresh=setting.rel_thresh,
+            iter_no_increase=True,
+            loop="chunked",
+            chunk_size=chunk_size,
+            reject_budget=4,
+        )
+
+    def init_factor_graph(self, start_pose, start_vel, goal_pose, goal_vel):
+        """start/goal arrays carry the (B, ...) session axis."""
+        from .batch import infer_batch_axes
+
+        self._probs = make_problem(
+            self._robot, self._sdf, jnp.asarray(start_pose),
+            jnp.asarray(start_vel), jnp.asarray(goal_pose),
+            jnp.asarray(goal_vel), self._setting, num_extra=self._K,
+        )
+        # per-SESSION pin slots: make_problem leaves the extra_* slots
+        # unbatched (shared); each lane needs its own
+        B = self._B
+        self._probs = dataclasses.replace(
+            self._probs,
+            **{f: jnp.tile(getattr(self._probs, f)[None],
+                           (B,) + (1,) * getattr(self._probs, f).ndim)
+               for f in ("extra_idx", "extra_pose", "extra_vel",
+                          "extra_pose_w", "extra_vel_w")},
+        )
+        # axes: batch exactly the per-session leaves (start/goal/extra
+        # slots); robot/SDF stay shared
+        tmpl = make_problem(
+            self._robot, self._sdf, jnp.asarray(start_pose)[0],
+            jnp.asarray(start_vel)[0], jnp.asarray(goal_pose)[0],
+            jnp.asarray(goal_vel)[0], self._setting, num_extra=self._K,
+        )
+        self._axes = infer_batch_axes(self._probs, tmpl)
+        self._slot[:] = 0
+
+    def init_values(self, traj: Trajectory):
+        """Seed all lanes, e.g. with a batch plan result ((B, n, ...))."""
+        self._traj = traj
+
+    def update(self):
+        """One warm-started fleet re-solve; chunked host early exit."""
+        assert self._probs is not None and self._traj is not None
+        res = plan_batch(self._probs, self._traj, self._params, self._axes)
+        self._traj = res.traj
+        self._res = res
+        return res
+
+    def change_goal_config_and_vel(self, goal_pose, goal_vel, lanes=None):
+        """Swap goal priors for `lanes` (default: all) — (B, d) inputs."""
+        d = self._robot.space.dim
+        dtype = self._probs.end_pose.dtype
+        goal_pose = jnp.asarray(goal_pose, dtype)
+        goal_vel = jnp.asarray(goal_vel, dtype)
+        if lanes is None:
+            new_pose, new_vel = goal_pose, goal_vel
+        else:
+            mask = jnp.zeros((self._B, 1), bool).at[jnp.asarray(lanes)].set(True)
+            new_pose = jnp.where(mask, goal_pose, self._probs.end_pose)
+            new_vel = jnp.where(mask, goal_vel, self._probs.end_vel)
+        # keep the weight leaves in their existing (shared or batched)
+        # shape — the axes pytree was inferred at init and must stay valid
+        w_pose = jnp.full_like(self._probs.goal_pose_w,
+                               1.0 / self._setting.conf_prior_sigma**2)
+        w_vel = jnp.full_like(self._probs.goal_vel_w,
+                              1.0 / self._setting.vel_prior_sigma**2)
+        self._probs = dataclasses.replace(
+            self._probs, end_pose=new_pose, end_vel=new_vel,
+            goal_pose_w=w_pose, goal_vel_w=w_vel,
+        )
+
+    def fix_config_and_vel(self, state_idx, pose, vel):
+        """Pin each lane's executed state: state_idx (B,), pose/vel (B, d)
+        (the per-lane fixConfigAndVel sweep of a receding-horizon fleet)."""
+        d = self._robot.space.dim
+        dtype = self._probs.extra_pose.dtype
+        k = jnp.asarray(self._slot)  # (B,) current slot per lane
+        lanes = jnp.arange(self._B)
+        w = jnp.full((self._B, d), 1.0 / self._setting.conf_prior_sigma**2, dtype)
+        wv = jnp.full((self._B, d), 1.0 / self._setting.vel_prior_sigma**2, dtype)
+        self._probs = dataclasses.replace(
+            self._probs,
+            extra_idx=self._probs.extra_idx.at[lanes, k].set(
+                jnp.asarray(state_idx, jnp.int32)),
+            extra_pose=self._probs.extra_pose.at[lanes, k].set(
+                jnp.asarray(pose, dtype)),
+            extra_vel=self._probs.extra_vel.at[lanes, k].set(
+                jnp.asarray(vel, dtype)),
+            extra_pose_w=self._probs.extra_pose_w.at[lanes, k].set(w),
+            extra_vel_w=self._probs.extra_vel_w.at[lanes, k].set(wv),
+        )
+        assert (self._slot < self._K).all(), "out of replanning prior slots"
+        self._slot += 1
+
+    def values(self) -> Trajectory:
+        return self._traj
+
+    @property
+    def result(self):
+        return getattr(self, "_res", None)

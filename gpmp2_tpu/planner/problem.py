@@ -543,23 +543,39 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
         b = b.at[1:].add(-W * jnp.einsum("itsm,its->im", Jz2, rs))
 
     # ---- joint / velocity limits ---------------------------------------
+    # Analytic Jacobians (VERDICT r1 weak 7): the hinge residual is
+    # elementwise on the storage coordinates, so d r_k / d tangent_k is a
+    # DIAGONAL of -1/0/+1 (below / inside / above; JointLimitCost.h:16-32),
+    # masked like the residual. Vector-block tangents equal storage deltas
+    # and masked SE(2) rows are identically zero, so no AD is needed in
+    # this innermost loop.
+    diag_idx = jnp.arange(d)
     if prob.flag_pos_limit:
-        lr, lJ = _jac_unary_pose(space, lambda p: _pos_limit_res(prob, p), pose)
-        H_diag, b, err = add_unary_pose(
-            H_diag, b, err, jnp.arange(n), lr, lJ, prob.pos_lim_w
+        from ..kinematics.factors import limit_mask
+
+        lr = jax.vmap(lambda p: _pos_limit_res(prob, p))(pose)  # (n, d)
+        lo = prob.pos_lim_down + prob.pos_lim_thresh
+        hi = prob.pos_lim_up - prob.pos_lim_thresh
+        slope = limit_mask(space, dtype) * jnp.where(
+            pose < lo, -1.0, jnp.where(pose <= hi, 0.0, 1.0)
+        ).astype(dtype)
+        err = err + quad_err_diag(prob.pos_lim_w, lr)
+        H_diag = H_diag.at[:, diag_idx, diag_idx].add(
+            prob.pos_lim_w * slope * slope
         )
+        b = b.at[:, :d].add(-(prob.pos_lim_w * slope * lr))
     if prob.flag_vel_limit:
-        def vl_rj(v):
-            def f(dv):
-                r = _vel_limit_res(prob, v + dv)
-                return r, r
-
-            return jax.jacfwd(f, has_aux=True)(jnp.zeros(d, dtype))
-
-        vJ, vr = jax.vmap(vl_rj)(vel)
-        H_diag, b, err = add_unary_vel(
-            H_diag, b, err, jnp.arange(n), vr, vJ, prob.vel_lim_w
+        vr = jax.vmap(lambda v: _vel_limit_res(prob, v))(vel)  # (n, d)
+        vlo = -prob.vel_lim + prob.vel_lim_thresh
+        vhi = prob.vel_lim - prob.vel_lim_thresh
+        vslope = jnp.where(
+            vel < vlo, -1.0, jnp.where(vel <= vhi, 0.0, 1.0)
+        ).astype(dtype)
+        err = err + quad_err_diag(prob.vel_lim_w, vr)
+        H_diag = H_diag.at[:, d + diag_idx, d + diag_idx].add(
+            prob.vel_lim_w * vslope * vslope
         )
+        b = b.at[:, d:].add(-(prob.vel_lim_w * vslope * vr))
 
     # ---- vehicle dynamics ----------------------------------------------
     if prob.flag_vehicle_dynamics:

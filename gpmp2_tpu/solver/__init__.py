@@ -2,5 +2,12 @@
 
 from .blocktridiag import block_tridiag_solve
 from .optimize import OptimizerParams, OptResult, optimize_batch
+from .partitioned import (
+    block_tridiag_solve_partitioned,
+    block_tridiag_solve_ts_sharded,
+)
 
-__all__ = ["block_tridiag_solve", "OptimizerParams", "OptResult", "optimize_batch"]
+__all__ = [
+    "block_tridiag_solve", "OptimizerParams", "OptResult", "optimize_batch",
+    "block_tridiag_solve_partitioned", "block_tridiag_solve_ts_sharded",
+]

@@ -172,3 +172,57 @@ class TestMobileSphereJacobian:
             dtype=jnp.float64,
         )
         self._check(model)
+
+
+class TestLimitLinearization:
+    """Analytic -1/0/+1 hinge Jacobians (traj_linearize) must reproduce the
+    AD gradient of traj_error: b == -grad_tangent(error)."""
+
+    def test_limits_b_matches_ad_gradient(self):
+        import dataclasses
+        import jax
+        from gpmp2_tpu.planner import Trajectory, make_problem, traj_error
+        from gpmp2_tpu.planner.problem import traj_linearize
+        from gpmp2_tpu.obstacle.sdf import PlanarSDF
+
+        from gpmp2_tpu.robots import generate_arm
+        robot = generate_arm("SimpleThreeLinksArm", dtype=jnp.float64)
+        sdf = PlanarSDF(origin=jnp.asarray([-50.0, -50.0], jnp.float64),
+                        cell_size=jnp.asarray(1.0, jnp.float64),
+                        data=jnp.full((101, 101), 1000.0, jnp.float64))
+        setting = TrajOptimizerSetting(
+            dof=3, total_step=5, total_time=2.5, obs_check_inter=0,
+            flag_pos_limit=True, flag_vel_limit=True,
+            joint_pos_limits_down=np.full(3, -1.0),
+            joint_pos_limits_up=np.full(3, 1.0),
+            vel_limits=np.full(3, 0.8),
+            pos_limit_thresh=np.full(3, 0.1),
+            vel_limit_thresh=np.full(3, 0.1),
+            Qc=np.eye(3),
+        )
+        start = jnp.asarray([-1.2, 0.0, 1.3], jnp.float64)  # outside limits
+        goal = jnp.asarray([1.2, 0.5, -1.4], jnp.float64)
+        zero = jnp.zeros(3, jnp.float64)
+        prob = make_problem(robot, sdf, start, zero, goal, zero, setting,
+                            dtype=jnp.float64)
+        # a trajectory violating both position and velocity limits
+        rng = np.random.default_rng(3)
+        pose = jnp.asarray(np.linspace(start, goal, 6)
+                           + 0.3 * rng.normal(size=(6, 3)), jnp.float64)
+        vel = jnp.asarray(rng.normal(size=(6, 3)), jnp.float64)
+        traj = Trajectory(pose, vel)
+
+        H_diag, H_off, b, err = traj_linearize(prob, traj)
+
+        space = robot.space
+
+        def err_of_tangent(dz):
+            p = jax.vmap(space.retract)(pose, dz[:, :3])
+            v = vel + dz[:, 3:]
+            return traj_error(prob, Trajectory(p, v))
+
+        g = jax.grad(err_of_tangent)(jnp.zeros((6, 6), jnp.float64))
+        np.testing.assert_allclose(np.asarray(b), -np.asarray(g),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(float(err), float(traj_error(prob, traj)),
+                                   rtol=1e-12)

@@ -10,7 +10,7 @@ from gpmp2_tpu.kinematics.fk import PointRobotFK
 from gpmp2_tpu.kinematics.robot import make_robot_model
 from gpmp2_tpu.obstacle.sdf import PlanarSDF
 from gpmp2_tpu.planner import TrajOptimizerSetting, batch_traj_optimize
-from gpmp2_tpu.planner.isam2 import ISAM2TrajOptimizer
+from gpmp2_tpu.planner.isam2 import ISAM2BatchSessions, ISAM2TrajOptimizer
 
 
 def _world():
@@ -139,3 +139,79 @@ class TestISAM2:
         np.testing.assert_allclose(
             np.asarray(pulled.pose[2]), np.asarray(measured), atol=1e-2
         )
+
+
+class TestBatchSessions:
+    """ISAM2BatchSessions: a fleet of replanning sessions as one vmapped
+    warm-started re-solve (BASELINE config 5 machinery)."""
+
+    def test_fleet_matches_single_sessions(self):
+        robot, sdf, setting = _world()
+        B = 4
+        rng = np.random.default_rng(0)
+        starts = jnp.asarray(
+            np.stack([[-0.8, dy] for dy in rng.uniform(-0.3, 0.3, B)]))
+        goals = jnp.asarray(
+            np.stack([[0.8, dy] for dy in rng.uniform(-0.3, 0.3, B)]))
+        zeros = jnp.zeros((B, 2))
+
+        res = batch_traj_optimize(robot, sdf, starts, zeros, goals, zeros,
+                                  setting)
+
+        fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B)
+        fleet.init_factor_graph(starts, zeros, goals, zeros)
+        fleet.init_values(res.traj)
+        fleet.update()
+
+        # each lane fixes its executed state 3 and moves its goal
+        poses = fleet.values()
+        fleet.fix_config_and_vel(
+            np.full(B, 3), poses.pose[:, 3], poses.vel[:, 3])
+        new_goals = goals + jnp.asarray([0.0, 0.35])
+        fleet.change_goal_config_and_vel(new_goals, zeros)
+        fleet.update()
+        fleet_traj = fleet.values()
+
+        # parity per lane vs the single-session replanner
+        for b in range(B):
+            opt = ISAM2TrajOptimizer(robot, sdf, setting)
+            opt.init_factor_graph(starts[b], zeros[b], goals[b], zeros[b])
+            opt.init_values(
+                type(res.traj)(res.traj.pose[b], res.traj.vel[b]))
+            opt.update()
+            pb = opt.values()
+            opt.fix_config_and_vel(3, pb.pose[3], pb.vel[3])
+            opt.change_goal_config_and_vel(new_goals[b], zeros[b])
+            opt.update()
+            np.testing.assert_allclose(
+                np.asarray(fleet_traj.pose[b]), np.asarray(opt.values().pose),
+                atol=2e-3,
+            )
+        # fleet reaches the new goals
+        np.testing.assert_allclose(
+            np.asarray(fleet_traj.pose[:, -1]), np.asarray(new_goals),
+            atol=1e-3,
+        )
+
+    def test_partial_lane_goal_change(self):
+        robot, sdf, setting = _world()
+        B = 3
+        starts = jnp.tile(jnp.asarray([-0.8, 0.0]), (B, 1))
+        goals = jnp.tile(jnp.asarray([0.8, 0.0]), (B, 1))
+        zeros = jnp.zeros((B, 2))
+        res = batch_traj_optimize(robot, sdf, starts, zeros, goals, zeros,
+                                  setting)
+        fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B)
+        fleet.init_factor_graph(starts, zeros, goals, zeros)
+        fleet.init_values(res.traj)
+        new_goals = jnp.tile(jnp.asarray([0.8, 0.5]), (B, 1))
+        fleet.change_goal_config_and_vel(new_goals, zeros, lanes=[1])
+        fleet.update()
+        traj = fleet.values()
+        # lane 1 moved to the new goal; lanes 0/2 kept the old one
+        np.testing.assert_allclose(np.asarray(traj.pose[1, -1]),
+                                   [0.8, 0.5], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(traj.pose[0, -1]),
+                                   [0.8, 0.0], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(traj.pose[2, -1]),
+                                   [0.8, 0.0], atol=1e-3)
