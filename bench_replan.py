@@ -11,10 +11,15 @@ VERDICT r1 item 6). Prints ONE JSON line.
 Usage: python bench_replan.py [--cpu]
 """
 
+import faulthandler
 import json
 import os
 import sys
 import time
+
+# remote-tunnel dispatch can wedge; dump all stacks every 5 min so a hang
+# is diagnosable from the log
+faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -36,11 +41,7 @@ def main():
     import jax.numpy as jnp
 
     from gpmp2_tpu.datasets import generate_3d_dataset, sdf_from_occupancy
-    from gpmp2_tpu.planner import (
-        ISAM2BatchSessions,
-        TrajOptimizerSetting,
-        batch_traj_optimize,
-    )
+    from gpmp2_tpu.planner import ISAM2BatchSessions, TrajOptimizerSetting
     from gpmp2_tpu.robots import generate_arm
 
     B = int(os.environ.get("BENCH_BATCH", "256"))
@@ -64,17 +65,19 @@ def main():
     goals = jnp.asarray(base_goal + 0.05 * rng.normal(size=(B, 7)), dtype)
     zeros = jnp.zeros((B, 7), dtype)
 
-    # cold batch phase
-    print("cold batch solve ...", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    res = batch_traj_optimize(robot, sdf, starts, zeros, goals, zeros,
-                              setting)
-    res.error.block_until_ready()
-    print(f"cold solve done in {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr, flush=True)
+    # seed the fleet from the straight-line init; the first (untimed)
+    # warm-up update doubles as the cold solve — one fewer distinct
+    # compiled program (remote-tunnel compiles are minutes each)
+    import jax as _jax
+    from gpmp2_tpu.planner.traj_utils import init_traj_straight_line
+
     fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B)
     fleet.init_factor_graph(starts, zeros, goals, zeros)
-    fleet.init_values(res.traj)
+    init = _jax.vmap(
+        lambda s, g: init_traj_straight_line(
+            robot.space, s, g, setting.total_step, setting.total_time)
+    )(starts, goals)
+    fleet.init_values(init)
 
     def one_round(r, timed):
         traj = fleet.values()
@@ -89,12 +92,15 @@ def main():
         out.error.block_until_ready()
         return out
 
-    # warm-up round compiles the update program
-    print("warm-up update (compiles fleet program) ...", file=sys.stderr,
+    # warm-up: first update compiles the fleet program AND converges the
+    # fleet cold from the straight-line init; second stabilizes the warm
+    # regime the timed rounds measure
+    print("warm-up updates (compile + cold converge) ...", file=sys.stderr,
           flush=True)
     t0 = time.perf_counter()
-    one_round(0, False)
+    fleet.update().error.block_until_ready()
     compile_s = time.perf_counter() - t0
+    one_round(0, False)
     print(f"warm-up done in {compile_s:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
