@@ -239,6 +239,19 @@ def batched_block_tridiag_solve(D, U, b, jacobi_scaling: bool = True):
         return block_tridiag_solve_pallas(
             D, U, b, jacobi_scaling=jacobi_scaling, **plan
         )
+    n = D.shape[1]
+    if n >= 256:
+        # long horizons: the sequential scan's critical path is n steps;
+        # the separator (Schur) decomposition cuts it to n/P + P
+        # (solver/partitioned.py) — segments run in parallel on one chip
+        # and shard over a 'ts' mesh axis under GSPMD
+        from ..solver.partitioned import block_tridiag_solve_partitioned
+
+        P = max(2, min(64, n // 64))
+        return jax.vmap(
+            lambda d, u, bb: block_tridiag_solve_partitioned(
+                d, u, bb, P, jacobi_scaling=jacobi_scaling)
+        )(D, U, b)
     from ..solver.blocktridiag import block_tridiag_solve
 
     return jax.vmap(

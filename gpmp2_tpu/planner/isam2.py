@@ -211,7 +211,7 @@ class ISAM2BatchSessions:
 
     def __init__(self, robot: RobotModel, sdf, setting: TrajOptimizerSetting,
                  batch: int, max_fixed: Optional[int] = None,
-                 chunk_size: int = 2):
+                 warm_iter: int = 4, loop: str = "static"):
         self._robot = robot
         self._sdf = sdf
         self._setting = setting
@@ -221,17 +221,29 @@ class ISAM2BatchSessions:
         self._probs: Optional[TrajProblem] = None
         self._axes = None
         self._traj: Optional[Trajectory] = None
-        # chunk_size 2: warm-started updates typically accept 1-2 steps, so
-        # small chunks + host early exit waste the fewest linearizes
+        # warm_iter: small per-update iteration budget. Warm-started
+        # updates accept 1-2 steps; a straggler lane simply improves
+        # further on the NEXT update instead of holding the whole fleet on
+        # the full setting.max_iter schedule. loop='static' runs the
+        # budget as ONE fixed-trip jitted dispatch — no per-chunk host
+        # round-trips, which dominate update latency on a remote/tunneled
+        # device ('chunked' remains available for local backends).
         self._params = OptimizerParams(
             method=setting.opt_type,
-            max_iter=setting.max_iter,
+            max_iter=warm_iter,
             rel_thresh=setting.rel_thresh,
             iter_no_increase=True,
-            loop="chunked",
-            chunk_size=chunk_size,
+            loop=loop,
+            chunk_size=2,
             reject_budget=4,
         )
+        # cold-start budget (first update from a fresh init): the full
+        # setting schedule, chunked with early exit
+        self._cold_params = dataclasses.replace(
+            self._params, max_iter=setting.max_iter, loop="chunked",
+            chunk_size=8, reject_budget=8,
+        )
+        self._first_update = True
 
     def init_factor_graph(self, start_pose, start_vel, goal_pose, goal_vel):
         """start/goal arrays carry the (B, ...) session axis."""
@@ -261,15 +273,20 @@ class ISAM2BatchSessions:
         )
         self._axes = infer_batch_axes(self._probs, tmpl)
         self._slot[:] = 0
+        self._first_update = True
 
     def init_values(self, traj: Trajectory):
         """Seed all lanes, e.g. with a batch plan result ((B, n, ...))."""
         self._traj = traj
 
     def update(self):
-        """One warm-started fleet re-solve; chunked host early exit."""
+        """One fleet re-solve: the FIRST update runs the full cold
+        schedule (chunked, host early exit); later updates run the small
+        warm static budget in a single dispatch."""
         assert self._probs is not None and self._traj is not None
-        res = plan_batch(self._probs, self._traj, self._params, self._axes)
+        params = self._cold_params if self._first_update else self._params
+        self._first_update = False
+        res = plan_batch(self._probs, self._traj, params, self._axes)
         self._traj = res.traj
         self._res = res
         return res
@@ -299,25 +316,25 @@ class ISAM2BatchSessions:
 
     def fix_config_and_vel(self, state_idx, pose, vel):
         """Pin each lane's executed state: state_idx (B,), pose/vel (B, d)
-        (the per-lane fixConfigAndVel sweep of a receding-horizon fleet)."""
-        d = self._robot.space.dim
+        (the per-lane fixConfigAndVel sweep of a receding-horizon fleet).
+        All five slot scatters fuse into ONE jitted dispatch — each eager
+        device call costs a full round trip on a remote-tunnel backend."""
+        assert (self._slot < self._K).all(), "out of replanning prior slots"
         dtype = self._probs.extra_pose.dtype
-        k = jnp.asarray(self._slot)  # (B,) current slot per lane
-        lanes = jnp.arange(self._B)
-        w = jnp.full((self._B, d), 1.0 / self._setting.conf_prior_sigma**2, dtype)
-        wv = jnp.full((self._B, d), 1.0 / self._setting.vel_prior_sigma**2, dtype)
+        upd = _pin_slots_jit(
+            self._probs.extra_idx, self._probs.extra_pose,
+            self._probs.extra_vel, self._probs.extra_pose_w,
+            self._probs.extra_vel_w,
+            jnp.asarray(self._slot), jnp.asarray(state_idx, jnp.int32),
+            jnp.asarray(pose, dtype), jnp.asarray(vel, dtype),
+            1.0 / self._setting.conf_prior_sigma**2,
+            1.0 / self._setting.vel_prior_sigma**2,
+        )
         self._probs = dataclasses.replace(
             self._probs,
-            extra_idx=self._probs.extra_idx.at[lanes, k].set(
-                jnp.asarray(state_idx, jnp.int32)),
-            extra_pose=self._probs.extra_pose.at[lanes, k].set(
-                jnp.asarray(pose, dtype)),
-            extra_vel=self._probs.extra_vel.at[lanes, k].set(
-                jnp.asarray(vel, dtype)),
-            extra_pose_w=self._probs.extra_pose_w.at[lanes, k].set(w),
-            extra_vel_w=self._probs.extra_vel_w.at[lanes, k].set(wv),
+            **dict(zip(("extra_idx", "extra_pose", "extra_vel",
+                        "extra_pose_w", "extra_vel_w"), upd)),
         )
-        assert (self._slot < self._K).all(), "out of replanning prior slots"
         self._slot += 1
 
     def values(self) -> Trajectory:
@@ -326,3 +343,22 @@ class ISAM2BatchSessions:
     @property
     def result(self):
         return getattr(self, "_res", None)
+
+
+@partial(jax.jit, static_argnums=(9, 10))
+def _pin_slots_jit(extra_idx, extra_pose, extra_vel, extra_pose_w,
+                   extra_vel_w, slot, state_idx, pose, vel, w, wv):
+    """Write one pin-slot per lane (lane b's slot[b]) in a single fused
+    program (ISAM2BatchSessions.fix_config_and_vel)."""
+    B = pose.shape[0]
+    lanes = jnp.arange(B)
+    dtype = extra_pose.dtype
+    return (
+        extra_idx.at[lanes, slot].set(state_idx),
+        extra_pose.at[lanes, slot].set(pose),
+        extra_vel.at[lanes, slot].set(vel),
+        extra_pose_w.at[lanes, slot].set(
+            jnp.full(pose.shape, w, dtype)),
+        extra_vel_w.at[lanes, slot].set(
+            jnp.full(vel.shape, wv, dtype)),
+    )

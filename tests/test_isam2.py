@@ -158,7 +158,11 @@ class TestBatchSessions:
         res = batch_traj_optimize(robot, sdf, starts, zeros, goals, zeros,
                                   setting)
 
-        fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B)
+        # warm_iter=100: full per-update budget so the fleet is exactly the
+        # single-session replanner vmapped (the default small warm budget
+        # trades a little per-update convergence for serving throughput)
+        fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B,
+                                   warm_iter=100)
         fleet.init_factor_graph(starts, zeros, goals, zeros)
         fleet.init_values(res.traj)
         fleet.update()

@@ -85,3 +85,17 @@ class TestTsSharded:
         D, U, b = _system(31, 3, seed=2)
         with pytest.raises(AssertionError):
             block_tridiag_solve_ts_sharded(mesh, D, U, b, n_parts=6)
+
+
+class TestDispatch:
+    def test_long_horizon_dispatches_partitioned(self):
+        """batched_block_tridiag_solve picks the partitioned path for
+        n >= 256 and still matches the sequential scan."""
+        from gpmp2_tpu.ops.btsolve import batched_block_tridiag_solve
+
+        D, U, b = _system(300, 4, seed=11)
+        DB, UB, bb = D[None], U[None], b[None]
+        x = batched_block_tridiag_solve(DB, UB, bb)
+        x_ref = block_tridiag_solve(D, U, b)
+        np.testing.assert_allclose(np.asarray(x[0]), np.asarray(x_ref),
+                                   rtol=1e-8, atol=1e-8)
