@@ -87,4 +87,10 @@ from .robots import (  # noqa: F401
 )
 from .solver import OptimizerParams, OptResult, block_tridiag_solve, optimize_batch  # noqa: F401
 from .ops import batched_block_tridiag_solve, block_tridiag_solve_pallas  # noqa: F401
-from .utils import load_sdf, read_sdf_vol_file, save_sdf  # noqa: F401
+from .utils import (  # noqa: F401
+    buffer_to_trajectory,
+    load_sdf,
+    read_sdf_vol_file,
+    save_sdf,
+    trajectory_to_buffer,
+)
