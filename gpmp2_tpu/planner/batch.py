@@ -266,7 +266,10 @@ def plan_batch(problems: TrajProblem, init_traj: Trajectory,
 
     lin, err = _vmapped_lin_err(problem_axes)
     retract = _retract_for(space)
-    return optimize_batch(lin, err, retract, init_traj, params, data=problems)
+    return optimize_batch(
+        lin, err, retract, init_traj, params,
+        data=problems, data_axes=problem_axes,
+    )
 
 
 def batch_traj_optimize(

@@ -51,6 +51,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..ops.btsolve import batched_block_tridiag_solve
@@ -78,6 +79,13 @@ class OptimizerParams:
     loop: str = "chunked"  # 'chunked' | 'static' | 'dynamic'
     reject_budget: int = 14  # extra steps to absorb rejected attempts
     chunk_size: int = 8  # steps per host round-trip ('chunked' mode)
+    # straggler compaction ('chunked' mode with data_axes): between chunks,
+    # gather still-active lanes into a power-of-two batch so late
+    # iterations don't pay full-batch linearize cost for converged lanes.
+    # Each new compacted size compiles its own chunk program (cached
+    # persistently), so sizes are restricted to powers of two >= the floor.
+    compact: bool = True
+    compact_floor: int = 128  # smallest compacted batch (pallas tile size)
     # per-iteration trace, mirroring the reference verbosity enum
     # (TrajOptimizerSetting.h:21): 'none' | 'error' (prints batch error
     # stats per attempted step via jax.debug.print; works under jit)
@@ -287,6 +295,30 @@ def _make_chunk(step: Callable, params: OptimizerParams):
     return chunk
 
 
+@jax.jit
+def _gather_state(st: _State, idx) -> _State:
+    """Select lanes `idx` (with possible duplicates) from a batched state."""
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), st)
+
+
+@jax.jit
+def _scatter_state(full: _State, abs_idx, st: _State) -> _State:
+    """Write compacted lanes back into the full-size state snapshot."""
+    return jax.tree_util.tree_map(
+        lambda f, c: f.at[abs_idx].set(c), full, st
+    )
+
+
+def _gather_data(data, data_axes, idx):
+    """Index per-lane data leaves (axis from data_axes; None = shared).
+    Mapped over the axes tree first so None (shared leaf) is a leaf."""
+    return jax.tree_util.tree_map(
+        lambda ax, a: a if ax is None else jnp.take(a, idx, axis=ax),
+        data_axes, data,
+        is_leaf=lambda x: x is None,
+    )
+
+
 # chunked-mode jit cache: (linearize_fn, retract_fn, params) -> callables.
 # Entries hold only function objects (no device arrays) — callers who want
 # cache hits must pass identical function objects each time (plan_batch
@@ -308,6 +340,10 @@ def _chunked_callables(linearize_fn, retract_fn, params):
     return fns
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
 def optimize_batch(
     linearize_fn: Callable,
     error_fn: Callable,  # unused; errors come from linearize_fn
@@ -315,6 +351,7 @@ def optimize_batch(
     traj0,
     params: OptimizerParams,
     data=None,
+    data_axes=None,
 ) -> OptResult:
     """Run the batched optimizer to per-problem convergence.
 
@@ -358,12 +395,49 @@ def optimize_batch(
             run_chunk = jax.jit(_make_chunk(step, params), donate_argnums=1)
         csize = max(1, params.chunk_size)
         st = init_jit(data, traj0)
+        B0 = int(st.err.shape[0])
+        # straggler compaction: active-lane gather between chunks. The
+        # host sync is already paid by the all-done check; shrinking to the
+        # next power of two >= the active count makes late chunks cost
+        # O(active) instead of O(B). Needs data_axes to know which data
+        # leaves are per-lane.
+        can_compact = (
+            params.compact and data_axes is not None
+            and B0 > params.compact_floor
+        )
+        full_st = None  # full-size snapshot once compacted (final values
+        abs_idx = None  # for finished lanes); abs_idx maps lane -> 0..B0
+        data_cur = data
         attempts = 0
         while attempts < total:
-            st, done = run_chunk(data, st)
+            st, done = run_chunk(data_cur, st)
             attempts += csize
             if bool(done):
                 break
+            if not can_compact:
+                continue
+            active = np.asarray(
+                ~st.converged & ~st.gave_up & (st.iters < params.max_iter)
+            )
+            tgt = max(params.compact_floor, _next_pow2(int(active.sum())))
+            Bcur = int(st.err.shape[0])
+            if tgt > Bcur // 2:
+                continue
+            if full_st is None:
+                full_st, abs_idx = st, np.arange(B0)
+            else:
+                full_st = _scatter_state(full_st, jnp.asarray(abs_idx), st)
+            lanes = np.nonzero(active)[0]
+            # pad with a duplicate of an active lane: the copies evolve
+            # identically, so the final scatter writes consistent values
+            idx = np.concatenate(
+                [lanes, np.full(tgt - lanes.size, lanes[0])]
+            ).astype(np.int32)
+            st = _gather_state(st, jnp.asarray(idx))
+            abs_idx = abs_idx[idx]
+            data_cur = _gather_data(data, data_axes, jnp.asarray(abs_idx))
+        if full_st is not None:
+            st = _scatter_state(full_st, jnp.asarray(abs_idx), st)
     else:
         make_init, step = _build_fns(lin2, retract_fn, params)
         if loop == "static":

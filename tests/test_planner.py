@@ -248,3 +248,61 @@ class TestWAM3D:
                                  0.2, 9)
         cc = collision_cost(prob, dense.pose)
         assert float(cc) < 1e-3, f"collision cost {float(cc)}"
+
+
+class TestPlannerCompaction:
+    """End-to-end straggler compaction through plan_batch: results must be
+    identical to the uncompacted chunked solve (compaction only regroups
+    lanes between chunks)."""
+
+    def test_compacted_plan_batch_matches(self):
+        import dataclasses
+
+        from gpmp2_tpu.planner.batch import (
+            infer_batch_axes, optimizer_params_from_setting, plan_batch,
+        )
+
+        sdf = circle_sdf_2d()
+        robot = point_robot_model()
+        setting = make_setting()
+        rng = np.random.default_rng(11)
+        B = 12
+        starts = jnp.asarray(
+            np.array([-0.8, 0.0]) + 0.1 * rng.normal(size=(B, 2))
+        )
+        goals = jnp.asarray(
+            np.array([0.8, 0.0]) + 0.1 * rng.normal(size=(B, 2))
+        )
+        zeros = jnp.zeros_like(starts)
+        probs = make_problem(robot, sdf, starts, zeros, goals, zeros, setting)
+        template = make_problem(
+            robot, probs.sdf, starts[0], zeros[0], goals[0], zeros[0], setting
+        )
+        axes = infer_batch_axes(probs, template)
+        init = jax.vmap(
+            lambda s, g: init_traj_straight_line(robot.space, s, g, 10, 5.0)
+        )(starts, goals)
+        base = optimizer_params_from_setting(setting)
+
+        res_off = plan_batch(
+            probs, init,
+            dataclasses.replace(base, chunk_size=2, compact=False), axes,
+        )
+        res_on = plan_batch(
+            probs, init,
+            dataclasses.replace(
+                base, chunk_size=2, compact=True, compact_floor=2
+            ),
+            axes,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_on.converged), np.asarray(res_off.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_on.traj.pose), np.asarray(res_off.traj.pose),
+            rtol=0, atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_on.error), np.asarray(res_off.error),
+            rtol=0, atol=0,
+        )

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+from dataclasses import replace as dataclasses_replace
 
 from gpmp2_tpu.solver.blocktridiag import block_tridiag_solve
 from gpmp2_tpu.solver.optimize import OptimizerParams, optimize_batch
@@ -208,3 +209,82 @@ class TestOptimizer:
         jax.effects_barrier()
         out = capfd.readouterr().out
         assert "[optimize]" in out and "err(mean)" in out
+
+
+class TestCompaction:
+    """Straggler compaction in chunked mode (OptimizerParams.compact):
+    between chunks, active lanes are gathered into a smaller batch. The
+    compaction must be invisible — results identical to the static loop."""
+
+    def _setup_cubic(self, B=16, n=3, m=2):
+        """Per-lane data convention (data, traj): r = x^3 - t. Larger |t|
+        needs more Newton steps, so lanes converge at different chunks."""
+        rng = np.random.default_rng(7)
+        targets = jnp.asarray(
+            rng.uniform(1.0, 50.0, size=(B, n, m)) * (1.0 + 9.0 * (rng.random((B, 1, 1)) > 0.7))
+        )
+
+        def lin(data, x):
+            r = x**3 - data
+            j = 3.0 * x**2  # elementwise Jacobian
+            H_diag = jnp.einsum(
+                "bnm,mk->bnmk", j * j, jnp.eye(m)
+            )  # diag blocks of J^T J
+            H_off = jnp.zeros((x.shape[0], n - 1, m, m), x.dtype)
+            b = -(j * r)
+            return H_diag, H_off, b, 0.5 * jnp.sum(r * r, axis=(1, 2))
+
+        ret = lambda x, d: x + d  # noqa: E731
+        x0 = jnp.ones((B, n, m))
+        data_axes = 0
+        return lin, ret, x0, targets, data_axes
+
+    def test_compacted_matches_static(self):
+        lin, ret, x0, data, axes = self._setup_cubic()
+        base = OptimizerParams(
+            method="lm", rel_thresh=1e-12, abs_thresh=1e-14, max_iter=40,
+            reject_budget=20,
+        )
+        res_static = optimize_batch(
+            lin, None, ret, x0, dataclasses_replace(base, loop="static"),
+            data=data, data_axes=axes,
+        )
+        res_comp = optimize_batch(
+            lin, None, ret, x0,
+            dataclasses_replace(
+                base, loop="chunked", chunk_size=2, compact=True,
+                compact_floor=2,
+            ),
+            data=data, data_axes=axes,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_comp.converged), np.asarray(res_static.converged)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_comp.iterations), np.asarray(res_static.iterations)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_comp.traj), np.asarray(res_static.traj),
+            rtol=0, atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_comp.error), np.asarray(res_static.error),
+            rtol=0, atol=0,
+        )
+
+    def test_compaction_disabled_matches(self):
+        lin, ret, x0, data, axes = self._setup_cubic()
+        base = OptimizerParams(method="lm", max_iter=40, reject_budget=20)
+        res_on = optimize_batch(
+            lin, None, ret, x0,
+            dataclasses_replace(base, chunk_size=2, compact=True, compact_floor=2),
+            data=data, data_axes=axes,
+        )
+        res_off = optimize_batch(
+            lin, None, ret, x0,
+            dataclasses_replace(base, chunk_size=2, compact=False),
+            data=data, data_axes=axes,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_on.traj), np.asarray(res_off.traj), rtol=0, atol=0
+        )
