@@ -32,8 +32,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    if jax.default_backend() != "tpu":
-        print("SKIP no TPU backend (default:", jax.default_backend(), ")", flush=True)
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:
+        # remote-tunnel backend failed to register (e.g. tunnel busy/down):
+        # no TPU reachable from this process — skip, don't fail
+        print(f"SKIP backend init failed: {e}", flush=True)
+        return 0
+    if backend != "tpu":
+        print("SKIP no TPU backend (default:", backend, ")", flush=True)
         return 0
 
     import jax.numpy as jnp
