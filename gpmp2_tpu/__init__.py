@@ -64,6 +64,7 @@ from .obstacle import (  # noqa: F401
     self_collision_error,
 )
 from .planner import (  # noqa: F401
+    FactorGraph,
     ISAM2TrajOptimizer,
     TrajOptimizerSetting,
     Trajectory,

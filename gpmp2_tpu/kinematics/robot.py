@@ -55,9 +55,37 @@ jax.tree_util.register_dataclass(
 def make_robot_model(fk, spheres: Sequence[Tuple[int, float, Tuple[float, float, float]]],
                      dtype=jnp.float32) -> RobotModel:
     """Build a RobotModel from (link_id, radius, center_xyz) tuples,
-    mirroring BodySphereVector construction (RobotModel.h:20-31)."""
-    ids = jnp.asarray([s[0] for s in spheres], jnp.int32)
-    radii = jnp.asarray([s[1] for s in spheres], dtype)
+    mirroring BodySphereVector construction (RobotModel.h:20-31).
+
+    Validates the sphere table at construction time (the reference throws
+    from factor constructors, e.g. JointLimitFactorVector.h:52-56; here the
+    checks live where the data enters so bad inputs fail with shapes in the
+    message instead of as XLA trace errors)."""
+    import numpy as np
+
+    if len(spheres) == 0:
+        raise ValueError("make_robot_model: sphere table is empty")
+    for i, s in enumerate(spheres):
+        if len(s) != 3 or len(tuple(s[2])) != 3:
+            raise ValueError(
+                f"make_robot_model: sphere {i} must be (link_id, radius, "
+                f"(x, y, z)), got {s!r}"
+            )
+    ids_np = np.asarray([s[0] for s in spheres], np.int32)
+    radii_np = np.asarray([float(s[1]) for s in spheres])
+    n_links = fk_mod.num_links_of(fk)
+    if ids_np.min() < 0 or ids_np.max() >= n_links:
+        raise ValueError(
+            f"make_robot_model: sphere link ids must be in [0, {n_links}) "
+            f"for this FK family, got range [{ids_np.min()}, {ids_np.max()}]"
+        )
+    if (radii_np < 0).any():
+        raise ValueError(
+            f"make_robot_model: sphere radii must be >= 0, got "
+            f"{radii_np[radii_np < 0].tolist()}"
+        )
+    ids = jnp.asarray(ids_np)
+    radii = jnp.asarray(radii_np, dtype)
     centers = jnp.asarray([tuple(s[2]) for s in spheres], dtype)
     return RobotModel(fk, ids, radii, centers)
 

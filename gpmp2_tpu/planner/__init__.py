@@ -8,6 +8,7 @@ from .batch import (
     optimizer_params_from_setting,
     plan_batch,
 )
+from .factor_graph import FactorGraph
 from .isam2 import ISAM2BatchSessions, ISAM2TrajOptimizer
 from .multigraph import (
     MultiGraphProblem,
@@ -38,6 +39,7 @@ __all__ = [
     "init_traj_straight_line",
     "interpolate_traj",
     "infer_batch_axes",
+    "FactorGraph",
     "ISAM2TrajOptimizer",
     "ISAM2BatchSessions",
     "MultiGraphProblem",

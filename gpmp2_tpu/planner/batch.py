@@ -60,6 +60,61 @@ def _maybe_pack_sdf(sdf, sdf_pack: Optional[bool]):
     return pack_planar_sdf(sdf) if is_planar else pack_sdf(sdf)
 
 
+def _validate_problem_inputs(robot, start_pose, start_vel, end_pose,
+                             end_vel, setting):
+    """Constructor-time shape/value validation, mirroring the reference's
+    factor-ctor throws (JointLimitFactorVector.h:52-56,
+    VelocityLimitFactorVector.h:49-55): fail here with shapes in the
+    message instead of as an XLA shape error deep inside the trace."""
+    space = robot.space
+    d, P = space.dim, space.storage_dim
+    if setting.dof != d:
+        raise ValueError(
+            f"make_problem: setting.dof={setting.dof} does not match the "
+            f"robot's state dimension {d} ({space.kind})"
+        )
+    for name, arr, want in (
+        ("start_pose", start_pose, P), ("end_pose", end_pose, P),
+        ("start_vel", start_vel, d), ("end_vel", end_vel, d),
+    ):
+        shape = jnp.shape(arr)
+        if len(shape) not in (1, 2) or shape[-1] != want:
+            raise ValueError(
+                f"make_problem: {name} must have shape ({want},) or "
+                f"(B, {want}), got {shape}"
+            )
+    batch_shapes = {
+        jnp.shape(a)[0]
+        for a in (start_pose, start_vel, end_pose, end_vel)
+        if len(jnp.shape(a)) == 2
+    }
+    if len(batch_shapes) > 1:
+        raise ValueError(
+            f"make_problem: inconsistent batch sizes across start/end "
+            f"arrays: {sorted(batch_shapes)}"
+        )
+    Qc = np.asarray(setting.Qc)
+    if Qc.shape != (d, d):
+        raise ValueError(
+            f"make_problem: setting.Qc must have shape ({d}, {d}), got "
+            f"{Qc.shape}"
+        )
+    if setting.flag_vel_limit and (np.asarray(setting.vel_limits) <= 0).any():
+        raise ValueError(
+            "make_problem: vel_limits must be strictly positive when "
+            "flag_vel_limit is set (VelocityLimitFactorVector.h:49-55), got "
+            f"{np.asarray(setting.vel_limits).tolist()}"
+        )
+    if setting.flag_pos_limit:
+        lo = np.asarray(setting.joint_pos_limits_down)
+        hi = np.asarray(setting.joint_pos_limits_up)
+        if (lo > hi).any():
+            raise ValueError(
+                "make_problem: joint_pos_limits_down must be <= "
+                f"joint_pos_limits_up, got down={lo.tolist()} up={hi.tolist()}"
+            )
+
+
 def make_problem(
     robot: RobotModel,
     sdf,
@@ -90,6 +145,9 @@ def make_problem(
     unbatched (use `infer_batch_axes` + `plan_batch`)."""
     space = robot.space
     d = space.dim
+    _validate_problem_inputs(
+        robot, start_pose, start_vel, end_pose, end_vel, setting
+    )
     if dtype is None:
         dtype = jnp.asarray(start_pose).dtype
         if dtype not in (jnp.float32, jnp.float64):

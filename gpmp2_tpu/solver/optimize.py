@@ -309,6 +309,17 @@ def _scatter_state(full: _State, abs_idx, st: _State) -> _State:
     )
 
 
+def _scatter_state_unique(full: _State, abs_idx: np.ndarray, st: _State) -> _State:
+    """Scatter compacted lanes back, writing each absolute index exactly
+    once. Compaction pads with duplicate lanes; `.at[].set` with duplicate
+    indices is undefined in JAX, so dedupe (keep first occurrence) before
+    scattering rather than relying on the copies staying bitwise equal."""
+    uniq, first = np.unique(abs_idx, return_index=True)
+    if uniq.size != abs_idx.size:
+        st = _gather_state(st, jnp.asarray(first.astype(np.int32)))
+    return _scatter_state(full, jnp.asarray(uniq.astype(np.int32)), st)
+
+
 def _gather_data(data, data_axes, idx):
     """Index per-lane data leaves (axis from data_axes; None = shared).
     Mapped over the axes tree first so None (shared leaf) is a leaf."""
@@ -399,11 +410,13 @@ def optimize_batch(
         # straggler compaction: active-lane gather between chunks. The
         # host sync is already paid by the all-done check; shrinking to the
         # next power of two >= the active count makes late chunks cost
-        # O(active) instead of O(B). Needs data_axes to know which data
-        # leaves are per-lane.
+        # O(active) instead of O(B). Needs `data`+`data_axes` to know which
+        # data leaves are per-lane. Compaction can only ever fire when the
+        # target (>= compact_floor) is at most half the current batch, so
+        # the effective enabling threshold is B0 >= 2*compact_floor.
         can_compact = (
-            params.compact and data_axes is not None
-            and B0 > params.compact_floor
+            params.compact and data is not None and data_axes is not None
+            and B0 >= 2 * params.compact_floor
         )
         full_st = None  # full-size snapshot once compacted (final values
         abs_idx = None  # for finished lanes); abs_idx maps lane -> 0..B0
@@ -426,7 +439,7 @@ def optimize_batch(
             if full_st is None:
                 full_st, abs_idx = st, np.arange(B0)
             else:
-                full_st = _scatter_state(full_st, jnp.asarray(abs_idx), st)
+                full_st = _scatter_state_unique(full_st, abs_idx, st)
             lanes = np.nonzero(active)[0]
             # pad with a duplicate of an active lane: the copies evolve
             # identically, so the final scatter writes consistent values
@@ -437,7 +450,7 @@ def optimize_batch(
             abs_idx = abs_idx[idx]
             data_cur = _gather_data(data, data_axes, jnp.asarray(abs_idx))
         if full_st is not None:
-            st = _scatter_state(full_st, jnp.asarray(abs_idx), st)
+            st = _scatter_state_unique(full_st, abs_idx, st)
     else:
         make_init, step = _build_fns(lin2, retract_fn, params)
         if loop == "static":

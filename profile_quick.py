@@ -8,7 +8,6 @@ matters for kernel work: how does a chunk's time split between linearize
 Usage: [B=1024] python profile_quick.py
 """
 
-import dataclasses
 import os
 import sys
 import time

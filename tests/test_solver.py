@@ -211,6 +211,14 @@ class TestOptimizer:
         assert "[optimize]" in out and "err(mean)" in out
 
 
+# Compaction must be invisible: bitwise on CPU, where batch size never
+# changes kernel tiling; on accelerator backends different batch shapes may
+# tile/pad the pallas block-tridiag kernel differently, so allow a tiny
+# float tolerance there instead of flaking.
+_EXACT = jax.default_backend() == "cpu"
+_C_TOL = dict(rtol=0, atol=0) if _EXACT else dict(rtol=1e-12, atol=1e-12)
+
+
 class TestCompaction:
     """Straggler compaction in chunked mode (OptimizerParams.compact):
     between chunks, active lanes are gathered into a smaller batch. The
@@ -265,11 +273,11 @@ class TestCompaction:
         )
         np.testing.assert_allclose(
             np.asarray(res_comp.traj), np.asarray(res_static.traj),
-            rtol=0, atol=0,
+            **_C_TOL,
         )
         np.testing.assert_allclose(
             np.asarray(res_comp.error), np.asarray(res_static.error),
-            rtol=0, atol=0,
+            **_C_TOL,
         )
 
     def test_compaction_disabled_matches(self):
@@ -286,5 +294,5 @@ class TestCompaction:
             data=data, data_axes=axes,
         )
         np.testing.assert_allclose(
-            np.asarray(res_on.traj), np.asarray(res_off.traj), rtol=0, atol=0
+            np.asarray(res_on.traj), np.asarray(res_off.traj), **_C_TOL
         )
