@@ -243,6 +243,14 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
             )
             gave_up = reject & (tr > params.lambda_max)
         else:  # dogleg
+            # GTSAM DoglegOptimizerImpl trust-region rule: rho >= 0.75 ->
+            # Delta = max(Delta, 3*||dx_d||) (the Powell growth GTSAM uses
+            # verbatim; cross-checked against tools/gtsam_oracle.py
+            # dogleg_iterate), rho < 0.25 -> halve. Documented deviation:
+            # GTSAM's SEARCH_EACH_ITERATION retries grown/shrunk radii
+            # within one iterate(); the batched loop takes ONE attempt per
+            # step (a retry is just the next fixed-shape step), which the
+            # dogleg parity fixtures show lands within 1% of the oracle.
             pred = model_decrease(H_diag, H_off, b, delta)
             rho = (st.err - new_err) / jnp.maximum(pred, 1e-30)
             better = finite & (new_err < st.err) & (pred > 0)

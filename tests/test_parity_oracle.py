@@ -20,9 +20,10 @@ Each fixture checks three independent things:
      residual + weight at a generic state — tight f64 tolerance);
   2. graph-cost parity at the oracle's OPTIMIZED trajectory (a second,
      qualitatively different state: obstacle hinges partially active);
-  3. optimizer parity: this framework's LM, run on the same graph from the
-     same init, reaches a final cost within 1% of the oracle's (the
-     north-star acceptance rule), converged and not gave_up.
+  3. optimizer parity: this framework's LM, Dogleg (the reference default,
+     Delta_0=0.2) and Gauss-Newton, run on the same graph from the same
+     init, each reach a final cost within 1% of the corresponding oracle
+     optimizer's (the north-star acceptance rule), converged, not gave_up.
 
 Regenerate fixtures with: python tools/gtsam_oracle.py
 """
@@ -97,22 +98,45 @@ def check_costs_and_opt(prob, fx, robot, sdf, setting, rel_opt=0.01,
     np.testing.assert_allclose(np.asarray(mine.vel),
                                fx["init_vel"], atol=1e-12)
 
-    # 4. optimizer parity: our LM within 1% of the oracle's final cost
-    res = batch_traj_optimize(
-        robot, sdf,
-        jnp.asarray(fx["meta_start"], F64), jnp.zeros_like(mine.vel[0]),
-        jnp.asarray(fx["meta_end"], F64), jnp.zeros_like(mine.vel[0]),
-        setting, dtype=F64, sdf_pack=False, **problem_kwargs,
-    )
-    assert bool(res.converged), "framework LM failed to converge"
-    assert not bool(res.gave_up)
-    oracle_final = float(fx["final_error"])
-    ours = float(res.error)
-    assert ours <= oracle_final * (1.0 + rel_opt) + 1e-9, (
-        f"final cost {ours} not within {rel_opt:.0%} of oracle "
-        f"{oracle_final}"
-    )
-    return ours, oracle_final
+    # 4. optimizer parity: each optimizer within 1% of the oracle's final
+    # cost on the same graph from the same init. LM is the north-star rule;
+    # dogleg is the reference's DEFAULT optimizer
+    # (TrajOptimizerSetting.cpp:41, Delta_0=0.2 BatchTrajOptimizer.cpp:222)
+    # and GN the examples' choice — their oracle finals live under
+    # dogleg_*/gn_* fixture keys (tools/gtsam_oracle.py).
+    results = {}
+    for opt_type, err_key in (("lm", "final_error"),
+                              ("dogleg", "dogleg_final_error"),
+                              ("gaussnewton", "gn_final_error")):
+        if err_key not in fx:
+            continue  # older fixture without dogleg/gn keys
+        import dataclasses as _dc
+
+        s = _dc.replace(setting) if _dc.is_dataclass(setting) else setting
+        s.opt_type = opt_type
+        if opt_type != "lm":
+            # trust-region paths differ legitimately mid-descent; compare
+            # tightly-converged endpoints (fixture generated at the same
+            # rel_tol, tools/gtsam_oracle.py)
+            s.rel_thresh = (float(fx["trust_rel_tol"])
+                            if "trust_rel_tol" in fx else 1e-4)
+            s.max_iter = 200
+        res = batch_traj_optimize(
+            robot, sdf,
+            jnp.asarray(fx["meta_start"], F64), jnp.zeros_like(mine.vel[0]),
+            jnp.asarray(fx["meta_end"], F64), jnp.zeros_like(mine.vel[0]),
+            s, dtype=F64, sdf_pack=False, **problem_kwargs,
+        )
+        assert bool(res.converged), f"framework {opt_type} failed to converge"
+        assert not bool(res.gave_up)
+        oracle_final = float(fx[err_key])
+        ours = float(res.error)
+        assert ours <= oracle_final * (1.0 + rel_opt) + 1e-9, (
+            f"{opt_type}: final cost {ours} not within {rel_opt:.0%} of "
+            f"oracle {oracle_final}"
+        )
+        results[opt_type] = (ours, oracle_final)
+    return results["lm"]
 
 
 class TestPointRobot2D:

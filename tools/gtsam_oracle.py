@@ -626,6 +626,159 @@ def lm_optimize(graph: Graph, state0, max_iter=100, rel_tol=1e-6,
     return state, err, iters, converged, gave_up
 
 
+def gn_optimize(graph: Graph, state0, max_iter=100, rel_tol=1e-6,
+                abs_tol=1e-5, err_tol=0.0, iter_no_increase=True,
+                verbose=False):
+    """gpmp2::optimize() around GTSAM's GaussNewtonOptimizer: one iterate()
+    = undamped normal-equation solve, always applied; the outer loop and
+    the final iter_no_increase revert are BatchTrajOptimizer.cpp:273-308."""
+    state = state0
+    err = graph.error(state)
+    iters = 0
+    gave_up = False
+    if err <= err_tol:
+        return state, err, iters, True, False
+    while True:
+        current_error = err
+        last_state = state
+        H, g = graph.linearize(state)
+        try:
+            cf = scipy.linalg.cho_factor(H)
+            delta = scipy.linalg.cho_solve(cf, g)
+        except np.linalg.LinAlgError:
+            delta = None
+        if delta is None or not np.all(np.isfinite(delta)):
+            gave_up = True
+            break
+        state = graph.retract(state, delta)
+        err = graph.error(state)
+        iters += 1
+        if verbose:
+            print(f"  gn iter {iters}: err {err:.6f}")
+        if iters >= max_iter or check_convergence(
+                rel_tol, abs_tol, err_tol, current_error, err):
+            break
+    if iter_no_increase and err > current_error:
+        state, err = last_state, current_error
+    converged = (not gave_up) and check_convergence(
+        rel_tol, abs_tol, err_tol, current_error, err)
+    return state, err, iters, converged, gave_up
+
+
+def _dogleg_point(delta, dx_u, dx_n):
+    """gtsam::DoglegOptimizerImpl::ComputeDoglegPoint: the classic Powell
+    dog-leg point for trust radius `delta` given the steepest-descent
+    (Cauchy) point dx_u and the Gauss-Newton point dx_n."""
+    nu2 = float(dx_u @ dx_u)
+    if delta * delta >= nu2:
+        if delta * delta >= float(dx_n @ dx_n):
+            return dx_n
+        # blend: ||dx_u + tau (dx_n - dx_u)|| = delta
+        # (DoglegOptimizerImpl::ComputeBlend)
+        diff = dx_n - dx_u
+        a = float(diff @ diff)
+        b = 2.0 * float(dx_u @ diff)
+        c = nu2 - delta * delta
+        disc = max(b * b - 4.0 * a * c, 0.0)
+        tau = (-b + math.sqrt(disc)) / max(2.0 * a, 1e-300)
+        return dx_u + tau * diff
+    return (delta / math.sqrt(nu2)) * dx_u
+
+
+def dogleg_iterate(graph: Graph, state, f_error, delta, min_delta=1e-5,
+                   verbose=False):
+    """One gtsam::DoglegOptimizer::iterate() with the default
+    SEARCH_EACH_ITERATION trust-region adaptation
+    (gtsam DoglegOptimizerImpl::Iterate):
+
+      rho = (f(x) - f(x_d)) / (M(0) - M(dx_d)), with rho := 0.5 when either
+      difference is ~0;
+      rho >= 0.75 -> Delta = max(Delta, 3 * ||dx_d||), retry with the
+                     larger radius unless it didn't grow or the last action
+                     was a decrease;
+      0.25 <= rho < 0.75 -> keep Delta, accept;
+      0 <= rho < 0.25 -> Delta *= 0.5, accept;
+      rho < 0 -> Delta *= 0.5 and RETRY while Delta > min_delta, else
+                 return the (worse) point and let the caller's
+                 iter_no_increase guard revert.
+
+    Returns (new_state, new_f_error, new_delta, stalled) where `stalled`
+    means the radius collapsed below min_delta without a decrease."""
+    H, g = graph.linearize(state)
+    cf = scipy.linalg.cho_factor(H)
+    dx_n = scipy.linalg.cho_solve(cf, g)
+    gHg = float(g @ (H @ g))
+    dx_u = (float(g @ g) / max(gHg, 1e-300)) * g
+
+    last_action = None
+    while True:
+        dx_d = _dogleg_point(delta, dx_u, dx_n)
+        cand = graph.retract(state, dx_d)
+        new_f = graph.error(cand)
+        M_dec = float(g @ dx_d) - 0.5 * float(dx_d @ (H @ dx_d))
+        f_dec = f_error - new_f
+        if abs(f_dec) < 1e-15 or abs(M_dec) < 1e-15:
+            rho = 0.5
+        else:
+            rho = f_dec / M_dec
+        dnorm = math.sqrt(float(dx_d @ dx_d))
+        if verbose:
+            print(f"    dl search: delta {delta:.4g} rho {rho:.3f} "
+                  f"f {new_f:.6f}")
+        if rho >= 0.75:
+            new_delta = max(delta, 3.0 * dnorm)
+            stay = not (abs(new_delta - delta) < 1e-15
+                        or last_action == "dec")
+            delta = new_delta
+            if stay:
+                last_action = "inc"
+                continue
+            return cand, new_f, delta, False
+        if rho >= 0.25:
+            return cand, new_f, delta, False
+        if rho >= 0.0:
+            return cand, new_f, 0.5 * delta, False
+        # rho < 0: the nonlinear error increased
+        delta = 0.5 * delta
+        if delta > min_delta:
+            last_action = "dec"
+            continue
+        return cand, new_f, delta, True
+
+
+def dogleg_optimize(graph: Graph, state0, max_iter=100, rel_tol=1e-6,
+                    abs_tol=1e-5, err_tol=0.0, delta_init=0.2,
+                    iter_no_increase=True, verbose=False):
+    """gpmp2::optimize() (BatchTrajOptimizer.cpp:212-308) around GTSAM's
+    DoglegOptimizer with deltaInitial = 0.2 (line 222)."""
+    state = state0
+    err = graph.error(state)
+    delta = delta_init
+    iters = 0
+    gave_up = False
+    if err <= err_tol:
+        return state, err, iters, True, False
+    while True:
+        current_error = err
+        last_state = state
+        state, err, delta, stalled = dogleg_iterate(
+            graph, state, err, delta, verbose=verbose)
+        iters += 1
+        if verbose:
+            print(f"  dl iter {iters}: err {err:.6f} delta {delta:.4g}")
+        if stalled and err >= current_error:
+            gave_up = True
+            break
+        if iters >= max_iter or check_convergence(
+                rel_tol, abs_tol, err_tol, current_error, err):
+            break
+    if iter_no_increase and err > current_error:
+        state, err = last_state, current_error
+    converged = (not gave_up) and check_convergence(
+        rel_tol, abs_tol, err_tol, current_error, err)
+    return state, err, iters, converged, gave_up
+
+
 # ---------------------------------------------------------------------------
 # trajectory init (TrajUtils.cpp:25-93)
 # ---------------------------------------------------------------------------
@@ -653,21 +806,26 @@ def init_straight_line(start, end, n_steps, total_time, lie=False):
 # ---------------------------------------------------------------------------
 
 
-def build_config_pointrobot2d():
-    """Config 1: 2-dof point robot, 2D SDF (the OneObstacleDataset world),
-    LM to convergence (pointRobot examples)."""
+def _pointrobot2d_world():
+    """Config-1 world + robot (OneObstacleDataset-style)."""
     occ = np.zeros((300, 300))
     occ[190:240, 140:190] = 1.0  # one obstacle, generate2Ddataset.m semantics
     cell = 0.01
     origin = np.array([-1.0, -1.0])
     sdf = OraclePlanarSDF(origin, cell, sdf_2d_from_occupancy(occ, cell))
     robot = OraclePointRobot([(0, 0.15, (0.0, 0.0, 0.0))])
+    return sdf, robot, cell, origin
+
+
+def _pointrobot2d_graph(sdf, robot, start, end, pins=()):
+    """Config-1 graph for a given goal plus replanning pins: each pin
+    (state_idx, pose, vel) adds the strong state priors of
+    ISAM2TrajOptimizer::fixConfigAndVel (ISAM2TrajOptimizer-inl.h:162-169);
+    a changed `end` mirrors changeGoalConfigAndVel (-inl.h:121-140)."""
     n_steps, total_time, inter = 10, 10.0, 5
     dt = total_time / n_steps
     Qc = np.eye(2)
     graph = Graph(n_steps + 1, 2)
-    start = np.array([0.0, 0.0])
-    end = np.array([1.3, 1.4])
     sv = np.zeros(2)
     ev = np.zeros(2)
     Wp = np.eye(2) / 0.0001 ** 2
@@ -687,14 +845,80 @@ def build_config_pointrobot2d():
                 graph.add(obstacle_factor_gp(i - 1, robot, sdf, cost_sigma,
                                              eps, True, Qc, dt, tau))
             graph.add(gp_prior_linear(i - 1, dt, Qc))
-    state0 = init_straight_line(start, end, n_steps, total_time)
+    for idx, pose, vel in pins:
+        graph.add(prior_factor_vector(idx, np.asarray(pose), Wp, False))
+        graph.add(prior_factor_vector(idx, np.asarray(vel), Wv, True))
+    return graph, dict(n_steps=n_steps, total_time=total_time, inter=inter,
+                       cost_sigma=cost_sigma, eps=eps)
+
+
+def build_config_pointrobot2d():
+    """Config 1: 2-dof point robot, 2D SDF (the OneObstacleDataset world),
+    LM to convergence (pointRobot examples)."""
+    sdf, robot, cell, origin = _pointrobot2d_world()
+    start = np.array([0.0, 0.0])
+    end = np.array([1.3, 1.4])
+    graph, p = _pointrobot2d_graph(sdf, robot, start, end)
+    state0 = init_straight_line(start, end, p["n_steps"], p["total_time"])
     return dict(name="pointrobot2d", graph=graph, state0=state0,
-                meta=dict(start=start, end=end, n_steps=n_steps,
-                          total_time=total_time, inter=inter,
-                          cost_sigma=cost_sigma, eps=eps,
+                meta=dict(start=start, end=end, n_steps=p["n_steps"],
+                          total_time=p["total_time"], inter=p["inter"],
+                          cost_sigma=p["cost_sigma"], eps=p["eps"],
                           robot="pointrobot_r0.15",
                           occ_box=[190, 240, 140, 190], cell=cell,
                           origin=origin))
+
+
+def build_replan_fixture_pointrobot2d(rounds=4, rel_tol=1e-4):
+    """Replanning-sequence fixture (the iSAM2 path's independent oracle,
+    mirroring WAMReplannerExample.m / ISAM2TrajOptimizer-inl.h:102-195):
+    cold LM solve, then `rounds` replan events. Event r: pin state r at the
+    oracle's CURRENT estimate (fixConfigAndVel), perturb the goal with a
+    fixed seed (changeGoalConfigAndVel), re-solve warm-started (update()).
+    The pinned values and goals are saved so the framework test replays the
+    IDENTICAL event sequence — both sides then optimize the same graphs and
+    final costs must agree within 1%."""
+    sdf, robot, cell, origin = _pointrobot2d_world()
+    start = np.array([0.0, 0.0])
+    goal0 = np.array([1.3, 1.4])
+    graph, p = _pointrobot2d_graph(sdf, robot, start, goal0)
+    state0 = init_straight_line(start, goal0, p["n_steps"], p["total_time"])
+    state, err, iters, conv, _ = lm_optimize(
+        graph, state0, max_iter=100, rel_tol=rel_tol)
+    rng = np.random.default_rng(7)
+    pins = []
+    rec = dict(pin_idx=[], pin_pose=[], pin_vel=[], goal=[], final_error=[],
+               converged=[])
+    for r in range(1, rounds + 1):
+        idx = r
+        pp = np.array(state[0][idx])
+        pv = np.array(state[1][idx])
+        pins.append((idx, pp, pv))
+        goal = goal0 + 0.05 * rng.normal(size=2)
+        graph, _ = _pointrobot2d_graph(sdf, robot, start, goal, pins)
+        state, err, iters, conv, _ = lm_optimize(
+            graph, state, max_iter=100, rel_tol=rel_tol)
+        rec["pin_idx"].append(idx)
+        rec["pin_pose"].append(pp)
+        rec["pin_vel"].append(pv)
+        rec["goal"].append(goal)
+        rec["final_error"].append(err)
+        rec["converged"].append(conv)
+    out = dict(
+        init_pose=state0[0], init_vel=state0[1],
+        cold_final_error=float(lm_optimize(
+            _pointrobot2d_graph(sdf, robot, start, goal0)[0], state0,
+            max_iter=100, rel_tol=rel_tol)[1]),
+        final_pose=state[0], final_vel=state[1],
+        meta_start=start, meta_goal0=goal0,
+        meta_n_steps=p["n_steps"], meta_total_time=p["total_time"],
+        meta_inter=p["inter"], meta_cost_sigma=p["cost_sigma"],
+        meta_eps=p["eps"], meta_rel_tol=rel_tol,
+        meta_occ_box=[190, 240, 140, 190], meta_cell=cell,
+        meta_origin=origin,
+        **{k: np.asarray(v) for k, v in rec.items()},
+    )
+    return out
 
 
 def build_config_mobilebase():
@@ -898,11 +1122,16 @@ def build_config_wam(occ_xyz=None):
                           origin=origin))
 
 
-def run_config(cfg, rel_tol=1e-2, max_iter=100, verbose=False):
+_OPTIMIZERS = {"lm": lm_optimize, "dogleg": dogleg_optimize,
+               "gn": gn_optimize}
+
+
+def run_config(cfg, rel_tol=1e-2, max_iter=100, verbose=False,
+               optimizer="lm"):
     graph, state0 = cfg["graph"], cfg["state0"]
     init_err = graph.error(state0)
     t0 = time.perf_counter()
-    state, err, iters, converged, gave_up = lm_optimize(
+    state, err, iters, converged, gave_up = _OPTIMIZERS[optimizer](
         graph, state0, max_iter=max_iter, rel_tol=rel_tol, verbose=verbose)
     wall = time.perf_counter() - t0
     return dict(init_error=init_err, final_error=err, iters=iters,
@@ -936,14 +1165,45 @@ def main():
             gave_up=res["gave_up"], wall_s=res["wall_s"],
             factor_errors_flat=flat, factor_error_sizes=sizes,
         )
+        # Dogleg (the reference's DEFAULT optimizer,
+        # TrajOptimizerSetting.cpp:41, Delta_0 = 0.2) and plain
+        # Gauss-Newton fixtures alongside LM, prefixed keys. Run at
+        # rel_tol 1e-4: unlike LM (schedule reproduced exactly), the
+        # trust-region paths differ legitimately mid-descent, so the 1%
+        # cost comparison is made between tightly-converged endpoints.
+        extra = {}
+        out["trust_rel_tol"] = 1e-4
+        for opt in ("dogleg", "gn"):
+            r = run_config(cfg, verbose=args.verbose, optimizer=opt,
+                           rel_tol=1e-4)
+            extra[opt] = r
+            out.update({
+                f"{opt}_pose": r["pose"], f"{opt}_vel": r["vel"],
+                f"{opt}_final_error": r["final_error"],
+                f"{opt}_iters": r["iters"],
+                f"{opt}_converged": r["converged"],
+                f"{opt}_gave_up": r["gave_up"],
+            })
         for k, v in cfg["meta"].items():
             out[f"meta_{k}"] = v
         path = os.path.join(args.fixtures_dir, f"oracle_{cfg['name']}.npz")
         np.savez_compressed(path, **out)
         print(f"{cfg['name']}: init {res['init_error']:.4f} -> "
-              f"final {res['final_error']:.4f} in {res['iters']} iters "
-              f"({res['wall_s']*1e3:.1f} ms, converged={res['converged']}) "
-              f"-> {path}")
+              f"lm {res['final_error']:.4f} ({res['iters']} it, "
+              f"conv={res['converged']}) | dogleg "
+              f"{extra['dogleg']['final_error']:.4f} "
+              f"({extra['dogleg']['iters']} it, "
+              f"conv={extra['dogleg']['converged']}) | gn "
+              f"{extra['gn']['final_error']:.4f} ({extra['gn']['iters']} it, "
+              f"conv={extra['gn']['converged']}) -> {path}")
+
+    # replanning-sequence fixture (the iSAM2 path's independent evidence)
+    rp = build_replan_fixture_pointrobot2d()
+    rpath = os.path.join(args.fixtures_dir, "oracle_replan_pointrobot2d.npz")
+    np.savez_compressed(rpath, **rp)
+    errs = ", ".join(f"{e:.4f}" for e in rp["final_error"])
+    print(f"replan_pointrobot2d: cold {rp['cold_final_error']:.4f} -> "
+          f"rounds [{errs}] -> {rpath}")
 
 
 if __name__ == "__main__":
