@@ -44,7 +44,7 @@ def main():
     from gpmp2_tpu.planner import ISAM2BatchSessions, TrajOptimizerSetting
     from gpmp2_tpu.robots import generate_arm
 
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
     ROUNDS = int(os.environ.get("BENCH_ROUNDS", "8"))
     dtype = jnp.float32
 

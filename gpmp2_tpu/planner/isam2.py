@@ -238,10 +238,13 @@ class ISAM2BatchSessions:
             reject_budget=4,
         )
         # cold-start budget (first update from a fresh init): the full
-        # setting schedule, chunked with early exit
+        # setting schedule, chunked with early exit. Compaction off: each
+        # compacted batch size is a separate XLA compile, and on a
+        # remote-dispatch backend compiles cost minutes — far more than the
+        # straggler FLOPs a one-off cold solve would save.
         self._cold_params = dataclasses.replace(
             self._params, max_iter=setting.max_iter, loop="chunked",
-            chunk_size=8, reject_budget=8,
+            chunk_size=8, reject_budget=8, compact=False,
         )
         self._first_update = True
 

@@ -90,6 +90,17 @@ class OptimizerParams:
     # (TrajOptimizerSetting.h:21): 'none' | 'error' (prints batch error
     # stats per attempted step via jax.debug.print; works under jit)
     verbosity: str = "none"
+    # trajectory-axis (sequence-parallel) solve: when `ts_mesh` is a
+    # jax.sharding.Mesh with a 'ts' axis and ts_parts > 1, the damped
+    # block-tridiagonal solve routes through the Schur-partitioned
+    # ts-sharded solver (solver/partitioned.py) — each trajectory's n
+    # states decompose into ts_parts segments sharded over the mesh's
+    # 'ts' axis while the batch shards over 'dp'. For long horizons
+    # (n >= ~257) this cuts the solve's sequential critical path from n
+    # to n/P + P per problem. Mesh objects are hashable, so params with a
+    # ts_mesh still key the chunk/static jit caches.
+    ts_mesh: object = None
+    ts_parts: int = 0
 
 
 class OptResult(NamedTuple):
@@ -150,6 +161,14 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
         m = H_diag.shape[-1]
         eye = jnp.eye(m, dtype=H_diag.dtype)
         Hd = H_diag + lam[:, None, None, None] * eye
+        if params.ts_mesh is not None and params.ts_parts > 1:
+            # sequence-parallel long-horizon path: Schur decomposition
+            # sharded over the mesh's 'ts' axis (partitioned.py)
+            from .partitioned import batched_block_tridiag_solve_ts_sharded
+
+            return batched_block_tridiag_solve_ts_sharded(
+                params.ts_mesh, Hd, H_off, b, params.ts_parts
+            )
         # Pallas fused kernel on TPU (ops/btsolve.py), vmapped scan elsewhere
         return batched_block_tridiag_solve(Hd, H_off, b)
 
@@ -359,6 +378,31 @@ def _chunked_callables(linearize_fn, retract_fn, params):
     return fns
 
 
+def _static_callable(linearize_fn, retract_fn, params):
+    """One fully-jitted static-schedule solve (init + fori_loop in a single
+    dispatch). Without this, the static path's make_init would execute
+    EAGERLY — hundreds of per-op round trips on a remote-dispatch backend,
+    ~1000x slower than one compiled call. Cached like the chunked
+    callables so repeat solves (e.g. ISAM2 warm updates) skip retracing."""
+    key = ("static", linearize_fn, retract_fn, params)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    make_init, step = _build_fns(linearize_fn, retract_fn, params)
+    total = params.max_iter + (
+        0 if params.method == "gaussnewton" else params.reject_budget
+    )
+
+    def run(data, traj0):
+        return lax.fori_loop(
+            0, total, lambda i, s: step(data, s), make_init(data, traj0)
+        )
+
+    fn = jax.jit(run)
+    _CHUNK_CACHE[key] = fn
+    return fn
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
@@ -459,6 +503,8 @@ def optimize_batch(
             data_cur = _gather_data(data, data_axes, jnp.asarray(abs_idx))
         if full_st is not None:
             st = _scatter_state_unique(full_st, abs_idx, st)
+    elif loop == "static" and cacheable:
+        st = _static_callable(lin2, retract_fn, params)(data, traj0)
     else:
         make_init, step = _build_fns(lin2, retract_fn, params)
         if loop == "static":

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .blocktridiag import block_tridiag_solve
@@ -40,6 +41,7 @@ __all__ = [
     "block_tridiag_solve_matrhs",
     "block_tridiag_solve_partitioned",
     "block_tridiag_solve_ts_sharded",
+    "batched_block_tridiag_solve_ts_sharded",
 ]
 
 
@@ -204,6 +206,89 @@ def block_tridiag_solve_partitioned(D, U, b, n_parts: int,
     x = x.at[idx_int.reshape(-1)].set(x_int.reshape(-1, m))
     x = x.at[sep].set(x_sep)
     x = x[:n]
+    if s is not None:
+        x = x * s
+    return x
+
+
+def batched_block_tridiag_solve_ts_sharded(mesh, D, U, b, n_parts: int,
+                                           dp_axis: str = "dp",
+                                           ts_axis: str = "ts",
+                                           jacobi_scaling: bool = True):
+    """BATCHED trajectory-axis-sharded exact solve over a 2-axis
+    (dp x ts) mesh — the form the planner's damped-solve consumes
+    (optimize_batch with OptimizerParams.ts_mesh/ts_parts).
+
+    D (B, n, m, m), U (B, n-1, m, m), b (B, n, m) -> x (B, n, m). The
+    problem batch B shards over `dp_axis`; each problem's trajectory axis
+    decomposes into `n_parts` segments sharded over `ts_axis` (per-segment
+    scans device-local), the tiny (P-1)-block separator system solves
+    dp-replicated after one ts-gather of interface slices, and
+    back-substitution partitions back with no further communication —
+    sequential critical path n/P + P per problem."""
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    ax_size = mesh.shape[ts_axis]
+    assert n_parts % ax_size == 0, (
+        f"n_parts={n_parts} must divide over mesh axis '{ts_axis}' "
+        f"(size {ax_size})"
+    )
+    seg_sh = NamedSharding(mesh, Pspec(dp_axis, ts_axis))
+    dp_sh = NamedSharding(mesh, Pspec(dp_axis))
+    constrain = lax.with_sharding_constraint
+
+    B, n, m = D.shape[0], D.shape[1], D.shape[-1]
+    P = n_parts
+    dtype = D.dtype
+    s = None
+    if jacobi_scaling:
+        D, U, b, s = jax.vmap(_jacobi_scale)(D, U, b)
+
+    # partition plan (host-side, static)
+    Li = -(-(n - (P - 1)) // P)
+    assert Li >= 1, f"n={n} too short for {P} partitions (need n >= 2P-1)"
+    n_pad = P * Li + (P - 1)
+    pad = n_pad - n
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (B, pad, m, m))
+        D = jnp.concatenate([D, eye], axis=1)
+        b = jnp.concatenate([b, jnp.zeros((B, pad, m), dtype)], axis=1)
+    U_full = jnp.concatenate(
+        [U, jnp.zeros((B, n_pad - (n - 1), m, m), dtype)], axis=1
+    )
+    stride = Li + 1
+    seg_start = stride * np.arange(P)
+    idx_int = jnp.asarray(seg_start[:, None] + np.arange(Li)[None, :])
+    idx_u = jnp.asarray(seg_start[:, None] + np.arange(max(Li - 1, 0))[None, :])
+    sep = jnp.asarray(stride * np.arange(1, P) - 1)
+
+    D_seg = constrain(D[:, idx_int], seg_sh)  # (B, P, Li, m, m)
+    U_seg = constrain(U_full[:, idx_u], seg_sh)
+    b_seg = constrain(b[:, idx_int], seg_sh)
+    a = U_full[:, sep - 1]  # (B, P-1, m, m)
+    c = U_full[:, sep]
+    D_sep = D[:, sep]
+    b_sep = b[:, sep]
+
+    Y = jax.vmap(jax.vmap(_segment_stage))(D_seg, U_seg, b_seg)
+    Y = constrain(Y, seg_sh)  # (B, P, Li, m, 2m+1)
+
+    SD, SU, Sb = jax.vmap(_schur_reduce)(Y, a, c, D_sep, b_sep)
+    SD, SU, Sb = (constrain(SD, dp_sh), constrain(SU, dp_sh),
+                  constrain(Sb, dp_sh))
+    x_sep = jax.vmap(
+        lambda sd, su, sb: block_tridiag_solve(sd, su, sb,
+                                               jacobi_scaling=False)
+    )(SD, SU, Sb)  # (B, P-1, m)
+    x_sep = constrain(x_sep, dp_sh)
+
+    x_int = jax.vmap(_back_substitute)(Y, a, c, x_sep)  # (B, P, Li, m)
+    x_int = constrain(x_int, seg_sh)
+
+    x = jnp.zeros((B, n_pad, m), dtype)
+    x = x.at[:, idx_int.reshape(-1)].set(x_int.reshape(B, -1, m))
+    x = x.at[:, sep].set(x_sep)
+    x = x[:, :n]
     if s is not None:
         x = x * s
     return x
