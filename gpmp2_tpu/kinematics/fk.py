@@ -95,8 +95,10 @@ _register(ArmFK, ["a", "alpha", "d", "theta_bias", "base_rot", "base_trans"])
 class PointRobotFK:
     """Planar translating point robot (reference PointRobot.h:25-63).
 
-    dof == 2 (x, y); a single link whose pose is identity rotation at
-    (x, y, 0).
+    A single link whose pose is identity rotation at (x, y, 0). dof
+    defaults to 2 (x, y); the reference also instantiates PointRobot(3, 1)
+    (x, y, theta — FK ignores the extra dofs), e.g.
+    gpmp2_python/examples/pointRobot3FactorExample_rh.py.
     """
 
     dof: int = 2
@@ -373,7 +375,7 @@ def dof_of(fk) -> int:
     if isinstance(fk, ArmFK):
         return fk.dof
     if isinstance(fk, PointRobotFK):
-        return 2
+        return fk.dof
     if isinstance(fk, Pose2MobileBaseFK):
         return 3
     if isinstance(fk, Pose2MobileArmFK):

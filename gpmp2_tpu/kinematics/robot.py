@@ -121,7 +121,7 @@ def sphere_centers_and_jac(model: RobotModel, q):
     if isinstance(fk, fk_mod.PointRobotFK):
         centers = sphere_centers_world(model, q)
         S = model.num_spheres
-        J = jnp.zeros((S, 3, 2), q.dtype)
+        J = jnp.zeros((S, 3, d), q.dtype)
         J = J.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
         return centers, J
 

@@ -472,11 +472,14 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
 
     # ---- obstacle factors at support states ----------------------------
     # analytic path: 1 FK pass + geometric Jacobian per state (all robot
-    # families have analytic sphere Jacobians)
+    # families have analytic sphere Jacobians). Accumulated with SLICE
+    # updates, not index scatters: every state has a factor, and XLA
+    # lowers `.at[arange(n)].add` to a real scatter op, which serializes
+    # on TPU (measured ~3x a whole linearize at the bench shape).
     obs_r, obs_J = jax.vmap(lambda p: _obs_res_and_jac(prob, p))(pose)
-    H_diag, b, err = add_unary_pose(
-        H_diag, b, err, jnp.arange(n), obs_r, obs_J, prob.obs_w
-    )
+    err = err + quad_err_diag(prob.obs_w, obs_r)
+    H_diag = H_diag.at[:, :d, :d].add(jtwj_diag(obs_J, prob.obs_w, obs_J))
+    b = b.at[:, :d].add(-jtwr_diag(obs_J, prob.obs_w, obs_r))
 
     # ---- GP-interpolated obstacle factors ------------------------------
     if prob.taus.shape[0] > 0:
@@ -549,7 +552,7 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
     # masked like the residual. Vector-block tangents equal storage deltas
     # and masked SE(2) rows are identically zero, so no AD is needed in
     # this innermost loop.
-    diag_idx = jnp.arange(d)
+    eye_d = jnp.eye(d, dtype=dtype)
     if prob.flag_pos_limit:
         from ..kinematics.factors import limit_mask
 
@@ -560,8 +563,9 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
             pose < lo, -1.0, jnp.where(pose <= hi, 0.0, 1.0)
         ).astype(dtype)
         err = err + quad_err_diag(prob.pos_lim_w, lr)
-        H_diag = H_diag.at[:, diag_idx, diag_idx].add(
-            prob.pos_lim_w * slope * slope
+        # diagonal add via diag-embed + slice (no advanced-index scatter)
+        H_diag = H_diag.at[:, :d, :d].add(
+            (prob.pos_lim_w * slope * slope)[..., None] * eye_d
         )
         b = b.at[:, :d].add(-(prob.pos_lim_w * slope * lr))
     if prob.flag_vel_limit:
@@ -572,8 +576,8 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
             vel < vlo, -1.0, jnp.where(vel <= vhi, 0.0, 1.0)
         ).astype(dtype)
         err = err + quad_err_diag(prob.vel_lim_w, vr)
-        H_diag = H_diag.at[:, d + diag_idx, d + diag_idx].add(
-            prob.vel_lim_w * vslope * vslope
+        H_diag = H_diag.at[:, d:, d:].add(
+            (prob.vel_lim_w * vslope * vslope)[..., None] * eye_d
         )
         b = b.at[:, d:].add(-(prob.vel_lim_w * vslope * vr))
 
@@ -594,9 +598,9 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
     # ---- self-collision --------------------------------------------------
     if prob.flag_self_collision:
         sc_r, sc_J = jax.vmap(lambda p: _selfcoll_res_and_jac(prob, p))(pose)
-        H_diag, b, err = add_unary_pose(
-            H_diag, b, err, jnp.arange(n), sc_r, sc_J, prob.sc_w
-        )
+        err = err + quad_err_diag(prob.sc_w, sc_r)
+        H_diag = H_diag.at[:, :d, :d].add(jtwj_diag(sc_J, prob.sc_w, sc_J))
+        b = b.at[:, :d].add(-jtwr_diag(sc_J, prob.sc_w, sc_r))
 
     # ---- workspace prior slots ------------------------------------------
     if prob.num_ws > 0:
@@ -615,8 +619,15 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
         )  # (Kw, 6, d), (Kw, 6)
         W6 = jnp.concatenate([prob.ws_rot_w, prob.ws_pos_w], axis=-1)
         err = err + quad_err_diag(W6, wr)
-        H_diag = H_diag.at[prob.ws_idx, :d, :d].add(jtwj_diag(wJ, W6, wJ))
-        b = b.at[prob.ws_idx, :d].add(-jtwr_diag(wJ, W6, wr))
+        # slot -> state routing as a one-hot matmul (TPU scatters serialize;
+        # Kw is small so the dense (Kw, n) product is effectively free)
+        oh_ws = (prob.ws_idx[:, None] == jnp.arange(n)[None, :]).astype(dtype)
+        H_diag = H_diag.at[:, :d, :d].add(
+            jnp.einsum("kn,kij->nij", oh_ws, jtwj_diag(wJ, W6, wJ))
+        )
+        b = b.at[:, :d].add(
+            -jnp.einsum("kn,ki->ni", oh_ws, jtwr_diag(wJ, W6, wr))
+        )
 
     # ---- extra (replanning) prior slots --------------------------------
     if prob.num_extra > 0:
@@ -629,16 +640,29 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
 
         eJ, er = jax.vmap(ep_rj)(prob.extra_pose, pose[prob.extra_idx])
         err = err + quad_err_diag(prob.extra_pose_w, er)
-        H_diag = H_diag.at[prob.extra_idx, :d, :d].add(jtwj_diag(eJ, prob.extra_pose_w, eJ))
-        b = b.at[prob.extra_idx, :d].add(-jtwr_diag(eJ, prob.extra_pose_w, er))
+        # slot -> state routing via one-hot matmul instead of index
+        # scatter (the warm-replan hot path: K ~ 2n slots per lane;
+        # batched TPU scatters serialize and dominated the update step)
+        oh = (prob.extra_idx[:, None] == jnp.arange(n)[None, :]).astype(dtype)
+        H_diag = H_diag.at[:, :d, :d].add(
+            jnp.einsum("kn,kij->nij", oh, jtwj_diag(eJ, prob.extra_pose_w, eJ))
+        )
+        b = b.at[:, :d].add(
+            -jnp.einsum("kn,ki->ni", oh, jtwr_diag(eJ, prob.extra_pose_w, er))
+        )
 
         ev = vel[prob.extra_idx] - prob.extra_vel
         err = err + quad_err_diag(prob.extra_vel_w, ev)
-        eyeK = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (prob.num_extra, d, d))
-        H_diag = H_diag.at[prob.extra_idx, d:, d:].add(
-            jtwj_diag(eyeK, prob.extra_vel_w, eyeK)
+        # velocity prior Jacobian is the identity: H_vv adds diag(w) per
+        # slot, routed with the same one-hot
+        eye_d2 = jnp.eye(d, dtype=dtype)
+        H_diag = H_diag.at[:, d:, d:].add(
+            jnp.einsum("kn,kij->nij", oh,
+                       prob.extra_vel_w[..., None] * eye_d2)
         )
-        b = b.at[prob.extra_idx, d:].add(-jtwr_diag(eyeK, prob.extra_vel_w, ev))
+        b = b.at[:, d:].add(
+            -jnp.einsum("kn,ki->ni", oh, prob.extra_vel_w * ev)
+        )
 
     return H_diag, H_off, b, err
 
