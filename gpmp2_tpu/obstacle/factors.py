@@ -50,8 +50,9 @@ def obstacle_factor_error(model: RobotModel, sdf: SignedDistanceField, q, eps):
     Matches ObstacleSDFFactor::evaluateError (ObstacleSDFFactor-inl.h:17-60).
     """
     centers = sphere_centers_world(model, q)  # (S, 3)
-    dist, _, ok = sdf_lookup(sdf, centers)
-    return hinge_loss(dist, model.sphere_radii + eps, ok)
+    eps_total = model.sphere_radii + eps
+    dist, _, ok = sdf_lookup(sdf, centers, screen_thresh=eps_total)
+    return hinge_loss(dist, eps_total, ok)
 
 
 def obstacle_planar_factor_error(model: RobotModel, sdf: PlanarSDF, q, eps):

@@ -58,12 +58,23 @@ class PlanarSDF(NamedTuple):
 
 
 class SignedDistanceField(NamedTuple):
-    """3D signed distance field. data is (Z, Y, X), meters."""
+    """3D signed distance field. data is (Z, Y, X), meters.
+
+    `coarse` (built by `screen_sdf`) is a conservative min-pooled bound
+    table at `coarse_cell` resolution: coarse[c] <= dist(p) for every p
+    whose containing fine cell maps into block c. The hinge lookup uses it
+    to SCREEN queries — points whose bound already clears the hinge
+    threshold skip the expensive random gather into the full-resolution
+    table (their fine-row index collapses to 0, which the HBM row buffer
+    absorbs) and report the bound itself (> threshold -> hinge inactive,
+    same semantics)."""
 
     origin: jnp.ndarray  # (3,)
     cell_size: jnp.ndarray  # scalar
     data: jnp.ndarray  # (z, rows, cols)
     packed: Optional[jnp.ndarray] = None  # (z*rows*cols, 8) corner-packed
+    coarse: Optional[jnp.ndarray] = None  # (zc, rc, cc) min-pooled bounds
+    coarse_cell: Optional[jnp.ndarray] = None  # scalar = cell * factor
 
 
 def _corner_offsets_3d(rows, cols):
@@ -72,15 +83,24 @@ def _corner_offsets_3d(rows, cols):
     return [0, cols, 1, cols + 1, rc, rc + cols, rc + 1, rc + cols + 1]
 
 
-def pack_sdf(sdf: SignedDistanceField) -> SignedDistanceField:
+def pack_sdf(sdf: SignedDistanceField, dtype=None) -> SignedDistanceField:
     """Return `sdf` with the corner-packed table filled (device-side build,
     no host round-trip). packed[l, k] = flat[l + off_k] with wraparound at
     the top boundary — safe because clamped lookup coordinates give those
-    corners exactly-zero interpolation weight (see sdf_lookup)."""
+    corners exactly-zero interpolation weight (see sdf_lookup).
+
+    `dtype` stores the packed table in a narrower type (e.g. float16:
+    halves the random-gather bytes, the TPU hot path's dominant cost;
+    corner values are dequantized to the compute dtype after the gather).
+    f16's ~1e-4 absolute error on the [-2, 2] m distances perturbs hinge
+    residuals by <0.1% of epsilon; the CPU/float64 parity paths never use
+    a packed table."""
     if sdf.packed is not None:
         return sdf
     nz, rows, cols = sdf.data.shape[-3:]
     flat = sdf.data.reshape(sdf.data.shape[:-3] + (-1,))
+    if dtype is not None:
+        flat = flat.astype(dtype)
     packed = jnp.stack(
         [jnp.roll(flat, -off, axis=-1) for off in _corner_offsets_3d(rows, cols)],
         axis=-1,
@@ -99,6 +119,31 @@ def pack_planar_sdf(sdf: PlanarSDF) -> PlanarSDF:
         axis=-1,
     )
     return sdf._replace(packed=packed)
+
+
+def screen_sdf(sdf: SignedDistanceField, factor: int = 8) -> SignedDistanceField:
+    """Attach the conservative coarse screen table: min-pool the fine field
+    over (factor + 1)-wide windows at stride `factor` (the +1 halo covers
+    the 8 trilerp corners of any point inside the block), so
+    coarse[c] <= trilinear dist(p) for all p in block c."""
+    if sdf.coarse is not None:
+        return sdf
+    from jax import lax
+
+    data = sdf.data
+    win = factor + 1
+    pooled = -lax.reduce_window(
+        -data, -jnp.inf, lax.max,
+        window_dimensions=(win, win, win),
+        window_strides=(factor, factor, factor),
+        padding=[(0, factor)] * 3,
+    )
+    # pad regions beyond the field keep -inf -> replace with the block min
+    pooled = jnp.where(jnp.isfinite(pooled), pooled, data.min())
+    return sdf._replace(
+        coarse=pooled.astype(data.dtype),
+        coarse_cell=jnp.asarray(sdf.cell_size * factor, data.dtype),
+    )
 
 
 def planar_sdf_lookup(sdf: PlanarSDF, point):
@@ -158,11 +203,17 @@ def planar_sdf_lookup(sdf: PlanarSDF, point):
     return dist, grad, in_range
 
 
-def sdf_lookup(sdf: SignedDistanceField, point):
+def sdf_lookup(sdf: SignedDistanceField, point, screen_thresh=None):
     """Trilinear signed distance + world gradient + in-range mask.
 
     point: (..., 3) world (x, y, z). Matches
     SignedDistanceField::getSignedDistance(point, g) (SDF.h:92-167).
+
+    `screen_thresh` (hinge activation threshold, broadcastable to the
+    query shape) enables the coarse screen when `sdf.coarse` is present:
+    queries whose conservative coarse bound exceeds the threshold skip the
+    random fine gather (index collapsed to row 0) and return the bound
+    with zero gradient — exact for the hinge, which is zero there anyway.
     """
     point = jnp.asarray(point)
     nz, rows, cols = sdf.data.shape[-3], sdf.data.shape[-2], sdf.data.shape[-1]
@@ -198,11 +249,30 @@ def sdf_lookup(sdf: SignedDistanceField, point):
     # 1-D take of 8 scattered elements (still far cheaper on TPU than 8
     # multi-dim advanced-indexing gathers).
     base = (lzi * rows + lri) * cols + lci
+
+    maybe = None
+    if screen_thresh is not None and sdf.coarse is not None:
+        zc, rc, cc = sdf.coarse.shape[-3:]
+        ccell = sdf.coarse_cell
+        cxi = jnp.clip((point[..., 0] - sdf.origin[0]) / ccell, 0, cc - 1
+                       ).astype(jnp.int32)
+        cyi = jnp.clip((point[..., 1] - sdf.origin[1]) / ccell, 0, rc - 1
+                       ).astype(jnp.int32)
+        czi = jnp.clip((point[..., 2] - sdf.origin[2]) / ccell, 0, zc - 1
+                       ).astype(jnp.int32)
+        bound = jnp.take(
+            sdf.coarse.reshape(sdf.coarse.shape[:-3] + (-1,)),
+            (czi * rc + cyi) * cc + cxi, axis=-1, mode="clip",
+        )
+        maybe = bound <= screen_thresh
+        base = jnp.where(maybe, base, 0)
+
     if sdf.packed is not None:
         # corner-packed table: ONE row gather instead of 8 scattered
-        # element gathers (see module docstring)
+        # element gathers (see module docstring); dequantize narrow tables
+        # to the compute dtype after the gather
         vals = jnp.take(sdf.packed.reshape(-1, 8), base, axis=0,
-                        mode="clip")
+                        mode="clip").astype(point.dtype)
     else:
         flat = sdf.data.reshape(-1)
         corner_offs = jnp.asarray(_corner_offsets_3d(rows, cols), jnp.int32)
@@ -247,4 +317,7 @@ def sdf_lookup(sdf: SignedDistanceField, point):
         + fy * fx * (d111 - d011)
     )
     grad = jnp.stack([g_col, g_row, g_z], axis=-1) / cs
+    if maybe is not None:
+        dist = jnp.where(maybe, dist, bound)
+        grad = jnp.where(maybe[..., None], grad, 0.0)
     return dist, grad, in_range

@@ -77,22 +77,55 @@ def _chol_solve_lanes(L, inv, rhs, m):
     return jnp.stack(X, axis=0)  # (m, R, T)
 
 
-def _bt_kernel(D_ref, U_ref, b_ref, x_ref, G_ref, *, n, m):
-    """Forward factor+solve sweep then backward substitution, one tile.
+def _bt_kernel(D_ref, U_ref, b_ref, lam_ref, x_ref, G_ref, s_ref,
+               *, n, m, scale):
+    """Forward factor+solve sweep then backward substitution, one tile,
+    with LM damping and (optional) symmetric Jacobi scaling FOLDED IN:
+    the caller passes raw (D, U, b, lambda) and the kernel works on
+    S (D + lam I) S with S = diag(rsqrt(diag(D) + lam)) — the damped
+    Hessian and the three scaled operand arrays never materialize in HBM
+    (each is a full extra pass over ~18 MB at the bench shape).
 
     D_ref: (n, m, m, T); U_ref: (n, m, m, T) (last block unused/zero);
-    b_ref: (n, m, T); x_ref out (n, m, T); G_ref scratch (n, m, m, T).
+    b_ref: (n, m, T); lam_ref: (1, T) per-lane damping; x_ref out
+    (n, m, T); G_ref scratch (n, m, m, T); s_ref scratch (n, m, T).
     """
     T = b_ref.shape[-1]
     dtype = b_ref.dtype
     zero_mm = jnp.zeros((m, m, T), dtype)
     zero_m = jnp.zeros((m, T), dtype)
+    lam = lam_ref[0]  # (T,)
+
+    # pass 0: scaling vectors from the DAMPED diagonal
+    def scal(i, _):
+        Di = D_ref[i]
+        if scale:
+            s_ref[i] = jnp.stack(
+                [lax.rsqrt(jnp.maximum(Di[r, r] + lam, 1e-30))
+                 for r in range(m)], axis=0)
+        else:
+            s_ref[i] = jnp.ones((m, T), dtype)
+        return 0
+
+    lax.fori_loop(0, n, scal, 0, unroll=False)
 
     def fwd(i, carry):
         PC, Pz = carry  # U_{i-1}^T C_{i-1}^{-1} {U_{i-1}, z_{i-1}}
-        C = D_ref[i] - PC  # (m, m, T)
-        z = b_ref[i] - Pz  # (m, T)
-        Ui = U_ref[i]  # (m, m, T)
+        si = s_ref[i]  # (m, T)
+        # scaled damped diagonal block: s_r (D[r,c] + lam [r==c]) s_c
+        Dd = D_ref[i]
+        rows = []
+        for r in range(m):
+            row = []
+            for c in range(m):
+                v = Dd[r, c] + lam if r == c else Dd[r, c]
+                row.append(v * si[r] * si[c])
+            rows.append(jnp.stack(row, axis=0))
+        C = jnp.stack(rows, axis=0) - PC  # (m, m, T)
+        z = b_ref[i] * si - Pz  # (m, T)
+        # scaled off-diagonal U'_i = s_i U_i s_{i+1} (row n-1 unused/zero)
+        sn = s_ref[jnp.minimum(i + 1, n - 1)]
+        Ui = U_ref[i] * si[:, None, :] * sn[None, :, :]  # (m, m, T)
         L, inv = _chol_lanes(C, m)
         # solve C^{-1} [U_i | z_i] in one substitution pass: rhs (m, m+1, T)
         rhs = jnp.concatenate([Ui, z[:, None, :]], axis=1)
@@ -126,31 +159,37 @@ def _bt_kernel(D_ref, U_ref, b_ref, x_ref, G_ref, *, n, m):
 
     lax.fori_loop(0, n - 1, bwd, x_ref[n - 1], unroll=False)
 
+    # rescale back to the unscaled solution: x = S x'
+    def resc(i, _):
+        x_ref[i] = x_ref[i] * s_ref[i]
+        return 0
+
+    lax.fori_loop(0, n, resc, 0, unroll=False)
+
 
 @functools.partial(
     jax.jit, static_argnames=("jacobi_scaling", "tile_b", "interpret")
 )
 def block_tridiag_solve_pallas(
-    D, U, b, jacobi_scaling: bool = True, tile_b: int = 128,
+    D, U, b, lam=None, jacobi_scaling: bool = True, tile_b: int = 128,
     interpret: bool = False,
 ):
-    """Solve H x = b for a batch of SPD block-tridiagonal systems.
+    """Solve (H + lam I) x = b for a batch of SPD block-tridiagonal systems.
 
     D: (B, n, m, m) diagonal blocks; U: (B, n-1, m, m) upper off-diagonals
-    (H[i, i+1] = U[i]); b: (B, n, m). Returns x: (B, n, m).
+    (H[i, i+1] = U[i]); b: (B, n, m); lam: (B,) per-problem LM damping
+    (None = 0). Returns x: (B, n, m).
+
+    Damping and Jacobi scaling happen INSIDE the kernel per tile — no
+    damped/scaled operand arrays in HBM.
 
     The batch is padded to a multiple of `tile_b` lanes (padded lanes get
     identity diagonal blocks so the factorization stays finite).
     """
     B, n, m = b.shape[0], b.shape[1], b.shape[2]
     dtype = b.dtype
-
-    if jacobi_scaling:
-        diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (B, n, m)
-        s = lax.rsqrt(jnp.maximum(diag, 1e-30))
-        D = D * s[..., :, None] * s[..., None, :]
-        U = U * s[:, :-1, :, None] * s[:, 1:, None, :]
-        b = b * s
+    if lam is None:
+        lam = jnp.zeros((B,), dtype)
 
     Bp = -(-B // tile_b) * tile_b
     padB = Bp - B
@@ -158,6 +197,7 @@ def block_tridiag_solve_pallas(
     Dp = jnp.concatenate([D, eyes], axis=0) if padB else D
     Up = jnp.concatenate([U, jnp.zeros((padB, n - 1, m, m), dtype)], axis=0) if padB else U
     bp = jnp.concatenate([b, jnp.zeros((padB, n, m), dtype)], axis=0) if padB else b
+    lamp = jnp.concatenate([lam, jnp.zeros((padB,), dtype)]) if padB else lam
     # pad U along n so all inputs share the leading extent (last block unused)
     Up = jnp.concatenate([Up, jnp.zeros((Bp, 1, m, m), dtype)], axis=1)
 
@@ -165,9 +205,10 @@ def block_tridiag_solve_pallas(
     Dt = jnp.transpose(Dp, (1, 2, 3, 0))  # (n, m, m, Bp)
     Ut = jnp.transpose(Up, (1, 2, 3, 0))
     bt = jnp.transpose(bp, (1, 2, 0))  # (n, m, Bp)
+    lamt = lamp[None, :]  # (1, Bp)
 
     grid = (Bp // tile_b,)
-    kernel = functools.partial(_bt_kernel, n=n, m=m)
+    kernel = functools.partial(_bt_kernel, n=n, m=m, scale=jacobi_scaling)
     xt = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, m, Bp), dtype),
@@ -179,17 +220,17 @@ def block_tridiag_solve_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, m, tile_b), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n, m, tile_b), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, m, m, tile_b), dtype)],
+        scratch_shapes=[pltpu.VMEM((n, m, m, tile_b), dtype),
+                        pltpu.VMEM((n, m, tile_b), dtype)],
         interpret=interpret,
-    )(Dt, Ut, bt)
+    )(Dt, Ut, bt, lamt)
 
-    x = jnp.transpose(xt, (2, 0, 1))[:B]  # (B, n, m)
-    if jacobi_scaling:
-        x = x * s
-    return x
+    return jnp.transpose(xt, (2, 0, 1))[:B]  # (B, n, m)
 
 
 # per-core VMEM is ~16 MB on v5e; leave headroom for the compiler's own
@@ -199,8 +240,8 @@ _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 def _kernel_vmem_bytes(n: int, m: int, tile_b: int, itemsize: int) -> int:
     """Resident VMEM of one kernel instance: D, U, G scratch are
-    (n, m, m, tile_b); b and x are (n, m, tile_b)."""
-    return (3 * m * m + 2 * m) * n * tile_b * itemsize
+    (n, m, m, tile_b); b, x and the s scratch are (n, m, tile_b)."""
+    return (3 * m * m + 3 * m) * n * tile_b * itemsize
 
 
 def _pallas_plan(D):
@@ -229,16 +270,23 @@ def _pallas_plan(D):
     return {"tile_b": tile_b, "interpret": not on_tpu}
 
 
-def batched_block_tridiag_solve(D, U, b, jacobi_scaling: bool = True):
+def batched_block_tridiag_solve(D, U, b, jacobi_scaling: bool = True,
+                                lam=None):
     """Batch dispatch: Pallas fused kernel on TPU, vmapped scan elsewhere.
 
     D: (B, n, m, m), U: (B, n-1, m, m), b: (B, n, m) -> (B, n, m).
+    `lam` (B,) adds per-problem LM damping lam*I — folded into the Pallas
+    kernel (no damped copy of D in HBM); applied explicitly on the
+    fallback paths.
     """
     plan = _pallas_plan(D)
     if plan is not None:
         return block_tridiag_solve_pallas(
-            D, U, b, jacobi_scaling=jacobi_scaling, **plan
+            D, U, b, lam=lam, jacobi_scaling=jacobi_scaling, **plan
         )
+    if lam is not None:
+        m_ = D.shape[-1]
+        D = D + lam[:, None, None, None] * jnp.eye(m_, dtype=D.dtype)
     n = D.shape[1]
     if n >= 256:
         # long horizons: the sequential scan's critical path is n steps;

@@ -46,9 +46,14 @@ __all__ = [
 def _maybe_pack_sdf(sdf, sdf_pack: Optional[bool]):
     import os
 
+    is_planar = isinstance(sdf, PlanarSDF)
+    # NOTE: screen_sdf (coarse conservative bound table) exists as an
+    # opt-in but is NOT applied automatically: measured on v5e, jnp.take
+    # costs per query regardless of index distribution, so adding a
+    # coarse-screen gather pass made the linearize ~1.5x SLOWER (39 -> 58
+    # ms at the bench shape) despite skipping 90% of fine rows.
     if sdf_pack is False or getattr(sdf, "packed", None) is not None:
         return sdf
-    is_planar = isinstance(sdf, PlanarSDF)
     if sdf_pack is None:
         # NOTE: the budget is on the TOTAL packed-table bytes, so a large
         # per-problem world batch may fall on the other side of it than a
@@ -57,7 +62,16 @@ def _maybe_pack_sdf(sdf, sdf_pack: Optional[bool]):
         factor = 4 if is_planar else 8
         if sdf.data.nbytes * factor > budget:
             return sdf
-    return pack_planar_sdf(sdf) if is_planar else pack_sdf(sdf)
+    if is_planar:
+        return pack_planar_sdf(sdf)
+    # GPMP2_TPU_PACK_DTYPE stores packed corners narrower (e.g. float16).
+    # Measured at the bench shape this does NOT speed the gather (per-query
+    # address cost dominates, not bytes: f16 38.8 ms vs f32 39.3 ms
+    # linearize), so full precision stays the default; the option remains
+    # for memory-constrained worlds (f16 halves the 8x table).
+    pack_dtype = os.environ.get("GPMP2_TPU_PACK_DTYPE", "")
+    dtype = jnp.dtype(pack_dtype) if pack_dtype not in ("", "none", "auto") else None
+    return pack_sdf(sdf, dtype=dtype)
 
 
 def _validate_problem_inputs(robot, start_pose, start_vel, end_pose,

@@ -180,13 +180,44 @@ def _obs_res_and_jac(prob: TrajProblem, conf):
         dist, grad, ok = planar_sdf_lookup(prob.sdf, centers[..., :2])
         Jc_eff = Jc[:, :2, :]  # (S, 2, d)
     else:
-        dist, grad, ok = sdf_lookup(prob.sdf, centers)
+        dist, grad, ok = sdf_lookup(prob.sdf, centers,
+                                    screen_thresh=eps_total)
         Jc_eff = Jc
     active = ok & (dist <= eps_total)
     r = jnp.where(active, eps_total - dist, 0.0)
     J = jnp.where(
         active[:, None],
         -jnp.einsum("sk,skd->sd", grad, Jc_eff),
+        0.0,
+    )
+    return r, J
+
+
+def _obs_res_and_jac_batched(prob: TrajProblem, confs):
+    """Batched analytic obstacle residual + Jacobian: (..., d) configs ->
+    (..., S), (..., S, d). Same math as `_obs_res_and_jac` but evaluated
+    through `arm_fk_spheres_batched`, which fuses FK + sphere centers +
+    geometric Jacobians into one Pallas kernel on TPU (ops/fk_arm.py) and
+    lets the planner feed ALL collision states (support + interpolated)
+    through a single FK pass and a single SDF gather."""
+    from ..kinematics.robot import sphere_centers_and_jac  # noqa: F401
+    from ..obstacle.sdf import planar_sdf_lookup, sdf_lookup
+    from ..ops.fk_arm import arm_fk_spheres_batched
+
+    centers, Jc = arm_fk_spheres_batched(prob.robot, confs)
+    eps_total = prob.robot.sphere_radii + prob.eps
+    if prob.planar:
+        dist, grad, ok = planar_sdf_lookup(prob.sdf, centers[..., :2])
+        Jc_eff = Jc[..., :2, :]
+    else:
+        dist, grad, ok = sdf_lookup(prob.sdf, centers,
+                                    screen_thresh=eps_total)
+        Jc_eff = Jc
+    active = ok & (dist <= eps_total)
+    r = jnp.where(active, eps_total - dist, 0.0)
+    J = jnp.where(
+        active[..., None],
+        -jnp.einsum("...sk,...skd->...sd", grad, Jc_eff),
         0.0,
     )
     return r, J
@@ -470,44 +501,57 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
     b = b.at[:-1].add(-jtwr_full(J1, W_gp, gp_r))
     b = b.at[1:].add(-jtwr_full(J2, W_gp, gp_r))
 
-    # ---- obstacle factors at support states ----------------------------
-    # analytic path: 1 FK pass + geometric Jacobian per state (all robot
-    # families have analytic sphere Jacobians). Accumulated with SLICE
-    # updates, not index scatters: every state has a factor, and XLA
+    # ---- obstacle factors (support + GP-interpolated states) -----------
+    # analytic path: all robot families have analytic sphere Jacobians.
+    # For vector spaces the support AND interpolated configurations run
+    # through ONE batched FK pass + ONE SDF gather (the wall-clock-
+    # dominant ops; ops/fk_arm.py fuses the FK on TPU). Accumulated with
+    # SLICE updates, not index scatters: every state has a factor, and XLA
     # lowers `.at[arange(n)].add` to a real scatter op, which serializes
     # on TPU (measured ~3x a whole linearize at the bench shape).
-    obs_r, obs_J = jax.vmap(lambda p: _obs_res_and_jac(prob, p))(pose)
+    T_taus = prob.taus.shape[0]
+    if T_taus > 0 and space.is_vector:
+        lam, psi = _interp_coeffs_all(prob)
+        # conf(tau) = Lam[:d] [x1;v1] + Psi[:d] [x2;v2] with CONSTANT
+        # coefficient blocks per tau -> chain rule is one matmul
+        # (reference updatePoseJacobians,
+        # GaussianProcessInterpolatorLinear.h:88-96).
+        lam_p = lam[:, :d, :]  # (T, d, 2d)
+        psi_p = psi[:, :d, :]
+
+        def conf_at(p1, v1, p2, v2):
+            s1 = jnp.concatenate([p1, v1], axis=-1)
+            s2 = jnp.concatenate([p2, v2], axis=-1)
+            return (
+                jnp.einsum("tde,e->td", lam_p, s1)
+                + jnp.einsum("tde,e->td", psi_p, s2)
+            )  # (T, d)
+
+        confs = jax.vmap(conf_at)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+        all_confs = jnp.concatenate(
+            [pose, confs.reshape((n - 1) * T_taus, d)], axis=0
+        )
+        r_all, J_all = _obs_res_and_jac_batched(prob, all_confs)
+        S_sph = r_all.shape[-1]
+        obs_r, obs_J = r_all[:n], J_all[:n]
+        rs = r_all[n:].reshape(n - 1, T_taus, S_sph)
+        Jconf = J_all[n:].reshape(n - 1, T_taus, S_sph, d)
+    else:
+        obs_r, obs_J = _obs_res_and_jac_batched(prob, pose)
+
     err = err + quad_err_diag(prob.obs_w, obs_r)
     H_diag = H_diag.at[:, :d, :d].add(jtwj_diag(obs_J, prob.obs_w, obs_J))
     b = b.at[:, :d].add(-jtwr_diag(obs_J, prob.obs_w, obs_r))
 
     # ---- GP-interpolated obstacle factors ------------------------------
-    if prob.taus.shape[0] > 0:
-        lam, psi = _interp_coeffs_all(prob)
-
+    if T_taus > 0:
         if space.is_vector:
-            # conf(tau) = Lam[:d] [x1;v1] + Psi[:d] [x2;v2] with CONSTANT
-            # coefficient blocks per tau -> chain rule is one matmul
-            # (reference updatePoseJacobians,
-            # GaussianProcessInterpolatorLinear.h:88-96).
-            lam_p = lam[:, :d, :]  # (T, d, 2d)
-            psi_p = psi[:, :d, :]
-
-            def conf_at(p1, v1, p2, v2):
-                s1 = jnp.concatenate([p1, v1], axis=-1)
-                s2 = jnp.concatenate([p2, v2], axis=-1)
-                return (
-                    jnp.einsum("tde,e->td", lam_p, s1)
-                    + jnp.einsum("tde,e->td", psi_p, s2)
-                )  # (T, d)
-
-            confs = jax.vmap(conf_at)(pose[:-1], vel[:-1], pose[1:], vel[1:])
-            rs, Jconf = jax.vmap(jax.vmap(lambda c: _obs_res_and_jac(prob, c)))(
-                confs
-            )  # (n-1, T, S), (n-1, T, S, d)
-            Jz1 = jnp.einsum("itsd,tde->itse", Jconf, lam_p)  # (n-1,T,S,2d)
-            Jz2 = jnp.einsum("itsd,tde->itse", Jconf, psi_p)
+            # single widened chain rule: coeff = [Lam_p | Psi_p] gives
+            # J wrt (z_i, z_{i+1}) in one matmul
+            coeff = jnp.concatenate([lam_p, psi_p], axis=-1)  # (T, d, 2m)
+            Jfull = jnp.einsum("itsd,tdE->itsE", Jconf, coeff)  # (n-1,T,S,2m)
         else:
+            lam, psi = _interp_coeffs_all(prob)
             # Lie hybrid: AD only through the (cheap) interpolation chart,
             # analytic FK/SDF Jacobian at the interpolated configuration:
             #   J_z = J_conf(pose_tau) @ d tangent(pose_tau)/d z   (AD)
@@ -530,20 +574,22 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
 
                 return jax.vmap(at_tau)(lam, psi)
 
-            rs, Js = jax.vmap(interval_rj)(pose[:-1], vel[:-1], pose[1:], vel[1:])
-            Jz1 = Js[..., :m]  # (n-1, T, S, m)
-            Jz2 = Js[..., m:]
+            rs, Jfull = jax.vmap(interval_rj)(
+                pose[:-1], vel[:-1], pose[1:], vel[1:]
+            )  # (n-1, T, S), (n-1, T, S, 2m)
 
         err = err + quad_err_diag(prob.obs_w, rs)
-        # sum over taus T and spheres S
+        # One widened (2m x 2m) Gram accumulation over (T, S) instead of
+        # three m x m einsums: H11/H22/H12 are its blocks. Halves the
+        # contraction kernel count in the wall-clock-dominant linearize.
         W = prob.obs_w
-        H_diag = H_diag.at[:-1].add(
-            W * jnp.einsum("itsm,itsn->imn", Jz1, Jz1)
-        )
-        H_diag = H_diag.at[1:].add(W * jnp.einsum("itsm,itsn->imn", Jz2, Jz2))
-        H_off = H_off + W * jnp.einsum("itsm,itsn->imn", Jz1, Jz2)
-        b = b.at[:-1].add(-W * jnp.einsum("itsm,its->im", Jz1, rs))
-        b = b.at[1:].add(-W * jnp.einsum("itsm,its->im", Jz2, rs))
+        Hfull = W * jnp.einsum("itsE,itsF->iEF", Jfull, Jfull)  # (n-1,2m,2m)
+        gfull = W * jnp.einsum("itsE,its->iE", Jfull, rs)  # (n-1, 2m)
+        H_diag = H_diag.at[:-1].add(Hfull[:, :m, :m])
+        H_diag = H_diag.at[1:].add(Hfull[:, m:, m:])
+        H_off = H_off + Hfull[:, :m, m:]
+        b = b.at[:-1].add(-gfull[:, :m])
+        b = b.at[1:].add(-gfull[:, m:])
 
     # ---- joint / velocity limits ---------------------------------------
     # Analytic Jacobians (VERDICT r1 weak 7): the hinge residual is

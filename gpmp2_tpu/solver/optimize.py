@@ -158,19 +158,20 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
         )
 
     def damped_solve(H_diag, H_off, b, lam):
-        m = H_diag.shape[-1]
-        eye = jnp.eye(m, dtype=H_diag.dtype)
-        Hd = H_diag + lam[:, None, None, None] * eye
         if params.ts_mesh is not None and params.ts_parts > 1:
             # sequence-parallel long-horizon path: Schur decomposition
             # sharded over the mesh's 'ts' axis (partitioned.py)
             from .partitioned import batched_block_tridiag_solve_ts_sharded
 
+            m = H_diag.shape[-1]
+            eye = jnp.eye(m, dtype=H_diag.dtype)
+            Hd = H_diag + lam[:, None, None, None] * eye
             return batched_block_tridiag_solve_ts_sharded(
                 params.ts_mesh, Hd, H_off, b, params.ts_parts
             )
-        # Pallas fused kernel on TPU (ops/btsolve.py), vmapped scan elsewhere
-        return batched_block_tridiag_solve(Hd, H_off, b)
+        # Pallas fused kernel on TPU (ops/btsolve.py) with damping+scaling
+        # folded in; vmapped scan elsewhere
+        return batched_block_tridiag_solve(H_diag, H_off, b, lam=lam)
 
     def apply_H(H_diag, H_off, v):
         Hv = jnp.einsum("bnij,bnj->bni", H_diag, v)

@@ -201,3 +201,95 @@ class TestPacked:
                              jnp.ones(2), jnp.zeros(2), setting,
                              sdf_pack=False)
         assert prob2.sdf.packed is None
+
+
+class TestScreened:
+    """Coarse-screen table (screen_sdf): the screened hinge must be
+    EXACTLY the unscreened hinge — the bound is conservative, so every
+    query it skips was provably inactive."""
+
+    def _field(self, n=96):
+        rng = np.random.default_rng(11)
+        cell = 2.0 / (n - 1)
+        g = -1.0 + cell * np.arange(n)
+        Z, Y, X = np.meshgrid(g, g, g, indexing="ij")
+        c = np.array([0.3, -0.2, 0.1])
+        dist = np.sqrt((X - c[0]) ** 2 + (Y - c[1]) ** 2 + (Z - c[2]) ** 2) - 0.25
+        # a second blob to break symmetry
+        dist = np.minimum(
+            dist, np.sqrt((X + 0.5) ** 2 + (Y + 0.5) ** 2 + Z**2) - 0.15
+        )
+        return SignedDistanceField(
+            origin=jnp.asarray([-1.0, -1.0, -1.0]),
+            cell_size=jnp.asarray(cell), data=jnp.asarray(dist),
+        )
+
+    def test_bound_is_conservative(self):
+        from gpmp2_tpu.obstacle.sdf import screen_sdf
+
+        sdf = self._field()
+        s = screen_sdf(sdf, factor=8)
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-0.99, 0.99, (512, 3)))
+        dist, _, _ = sdf_lookup(sdf, pts)
+        ccell = float(s.coarse_cell)
+        idx = jnp.clip(
+            ((pts - s.origin) / ccell).astype(jnp.int32), 0,
+            jnp.asarray(s.coarse.shape[::-1]) - 1,
+        )
+        zc, rc, cc = s.coarse.shape
+        bound = s.coarse.reshape(-1)[(idx[:, 2] * rc + idx[:, 1]) * cc + idx[:, 0]]
+        assert bool(jnp.all(bound <= dist + 1e-6))
+
+    def test_screened_hinge_exact(self):
+        from gpmp2_tpu.obstacle.factors import hinge_loss
+        from gpmp2_tpu.obstacle.sdf import screen_sdf
+
+        sdf = self._field()
+        s = screen_sdf(sdf, factor=8)
+        rng = np.random.default_rng(4)
+        pts = jnp.asarray(rng.uniform(-1.2, 1.2, (2048, 3)))  # incl. out-of-range
+        thresh = 0.3
+        d0, g0, ok0 = sdf_lookup(sdf, pts)
+        d1, g1, ok1 = sdf_lookup(s, pts, screen_thresh=thresh)
+        np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+        h0 = hinge_loss(d0, thresh, ok0)
+        h1 = hinge_loss(d1, thresh, ok1)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=1e-7)
+        # gradients agree wherever the hinge is active
+        active = np.asarray(h0) > 0
+        np.testing.assert_allclose(
+            np.asarray(g1)[active], np.asarray(g0)[active], atol=1e-7
+        )
+        # and the screen actually skips a nontrivial fraction
+        skipped = np.asarray(d1 != d0).mean()
+        assert skipped > 0.3, f"screen skipped only {skipped:.0%}"
+
+    def test_planner_parity_with_screen(self):
+        """End-to-end: a WAM-style solve with and without the screen lands
+        on identical errors (the screen is invisible to the optimizer)."""
+        import dataclasses as dc
+
+        from gpmp2_tpu.obstacle.sdf import screen_sdf
+        from gpmp2_tpu.planner import TrajOptimizerSetting, Trajectory, make_problem
+        from gpmp2_tpu.planner.problem import traj_linearize
+        from gpmp2_tpu.planner.traj_utils import init_traj_straight_line
+        from gpmp2_tpu.robots import generate_arm
+
+        robot = generate_arm("WAMArm")
+        sdf = self._field(64)
+        setting = TrajOptimizerSetting(
+            dof=7, total_step=6, total_time=2.0, epsilon=0.2,
+            cost_sigma=0.02, obs_check_inter=3, Qc=np.eye(7),
+        )
+        start = jnp.asarray([-0.8, -1.70, 1.64, 1.29, 1.1, -0.106, 2.2])
+        goal = jnp.asarray([-0.0, 0.94, 0.0, 1.6, 0.0, -0.919, 1.55])
+        z = jnp.zeros(7)
+        p_plain = make_problem(robot, sdf, start, z, goal, z, setting,
+                               sdf_pack=False)
+        p_scr = dc.replace(p_plain, sdf=screen_sdf(sdf, factor=8))
+        traj = init_traj_straight_line(robot.space, start, goal, 6, 2.0)
+        for f0, f1 in zip(traj_linearize(p_plain, traj),
+                          traj_linearize(p_scr, traj)):
+            np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                       atol=1e-6)
