@@ -62,7 +62,9 @@ def main():
     from gpmp2_tpu.planner.traj_utils import init_traj_straight_line
     from gpmp2_tpu.robots import generate_arm
 
-    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    # B=2048 saturates the chip (measured: 1024 -> 974.8 plans/s, 2048 ->
+    # 1046.0, 4096 -> 1042.7); larger batches only stretch latency
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
     REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
     # chunked loop: jitted chunks of 8 LM steps with a host-side all-done
     # check between chunks — typical batches converge in 1-2 chunks instead
