@@ -15,12 +15,16 @@ Layout: configurations are the TPU lane axis. A grid step processes a
 (8, 128) tile of configs; every scalar of the per-config computation is
 one (8, 128) VPU op over the whole tile.
 
-STATUS — experimental, opt-in (GPMP2_TPU_FK_KERNEL=1): the current
-unrolled body holds every link frame live simultaneously (~90 vector
-registers), which spills on v5e and measures ~54 ms per 103k configs vs
-~9.7 ms for the XLA path. Numerics are verified (interpret-mode tests
-below and tests/test_fk_kernel.py); making it fast needs a two-pass
-VMEM-scratch restructure. The module's production value today is
+STATUS — experimental, opt-in (GPMP2_TPU_FK_KERNEL=1): measures ~55 ms
+per 103k configs vs ~9.7 ms for the XLA path, and the wall is NOT the
+kernel math: a TRIVIAL body (7 adds) over the same grid costs 24 ms —
+i.e. ~0.24 ms of per-grid-step dispatch overhead on this backend at
+grid=101 (the block-tridiag kernel is viable because its grid is ~8).
+Packing more config-tiles per grid step is capped at ~3 by the J output's
+VMEM footprint (1.37 MB per tile), leaving a floor at roughly the XLA
+path's cost. Numerics are verified (interpret-mode tests in
+tests/test_fk_kernel.py; two-pass VMEM-scratch frames keep register
+pressure bounded). The module's production value today is
 `arm_fk_spheres_batched`: one batched FK + gather call shape for ALL
 collision states, which problem.py uses with the vectorized jnp path.
 
@@ -54,34 +58,32 @@ _SUB, _LANE = 8, 128
 
 
 def _fk_kernel(consts_ref, base_ref, scent_ref, onehot_ref, jmask_ref,
-               q_ref, centers_ref, J_ref, *, d, S):
+               q_ref, centers_ref, J_ref, frames_ref, *, d, S):
     """One tile: q (d, 1, 8, 128) block -> centers (S, 3, 1, 8, 128),
     J (S, 3, d, 1, 8, 128).
 
     consts: (5, d) = [a, dz, theta_bias, cos(alpha), sin(alpha)] in SMEM.
     base: (3, 4) = [R | t] in SMEM. scent: (S, 3) local sphere centers.
     onehot: (S, d) sphere->link selection. jmask: (S, d) j <= link mask.
+
+    Two-pass structure to keep register pressure bounded: pass 1 chains
+    the joint transforms holding only the CURRENT frame live (~24 tiles)
+    and parks every frame ([R row-major (9) | t (3)]) in the `frames_ref`
+    VMEM scratch (frames_ref[0] = base frame = joint 0's axis frame;
+    frames_ref[j+1] = link j); pass 2 computes each sphere's center and
+    Jacobian reading frames back from scratch (~10 live tiles). The
+    original single-pass form kept all link frames live (~90 tiles) and
+    spilled on every op.
     """
-    # running frame: R (3x3 list of (8,128) tiles), t (3)
-    R = [[None] * 3 for _ in range(3)]
-    t = [None] * 3
     ones = jnp.ones((_SUB, _LANE), q_ref.dtype)
+    R = [[base_ref[r, c] * ones for c in range(3)] for r in range(3)]
+    t = [base_ref[r, 3] * ones for r in range(3)]
     for r in range(3):
         for c in range(3):
-            R[r][c] = base_ref[r, c] * ones
-        t[r] = base_ref[r, 3] * ones
-
-    # per-joint link frames and joint axes/origins
-    link_R = []  # rotation of link j's frame
-    link_t = []
-    z_ax = []  # joint j rotation axis = z column of the frame BEFORE j
-    o_pt = []  # joint j origin = translation of the frame BEFORE j
+            frames_ref[0, 3 * r + c] = R[r][c]
+        frames_ref[0, 9 + r] = t[r]
 
     for j in range(d):
-        # joint axis/origin from the frame BEFORE joint j
-        z_ax.append([R[0][2], R[1][2], R[2][2]])
-        o_pt.append([t[0], t[1], t[2]])
-
         a_j = consts_ref[0, j]
         dz_j = consts_ref[1, j]
         bias_j = consts_ref[2, j]
@@ -93,7 +95,6 @@ def _fk_kernel(consts_ref, base_ref, scent_ref, onehot_ref, jmask_ref,
         # DH transform A = RotZ(theta) * [Rx(alpha) | (a, 0, dz)]:
         #   A[:,0] = (ct, st, 0); A[:,1] = (-st*ca, ct*ca, sa);
         #   A[:,2] = (st*sa, -ct*sa, ca); A[:,3] = (a*ct, a*st, dz)
-        A0 = (ct, st, None)  # None = zero
         A1 = (-st * ca_j, ct * ca_j, sa_j * ones)
         A2 = (st * sa_j, -ct * sa_j, ca_j * ones)
         A3 = (a_j * ct, a_j * st, dz_j * ones)
@@ -101,39 +102,44 @@ def _fk_kernel(consts_ref, base_ref, scent_ref, onehot_ref, jmask_ref,
         Rn = [[None] * 3 for _ in range(3)]
         tn = [None] * 3
         for r in range(3):
-            # column 0: A[2][0] == 0
-            Rn[r][0] = R[r][0] * A0[0] + R[r][1] * A0[1]
+            # column 0 of A is (ct, st, 0)
+            Rn[r][0] = R[r][0] * ct + R[r][1] * st
             Rn[r][1] = R[r][0] * A1[0] + R[r][1] * A1[1] + R[r][2] * A1[2]
             Rn[r][2] = R[r][0] * A2[0] + R[r][1] * A2[1] + R[r][2] * A2[2]
             tn[r] = t[r] + R[r][0] * A3[0] + R[r][1] * A3[1] + R[r][2] * A3[2]
         R, t = Rn, tn
-        link_R.append(R)
-        link_t.append(t)
+        for r in range(3):
+            for c in range(3):
+                frames_ref[j + 1, 3 * r + c] = R[r][c]
+            frames_ref[j + 1, 9 + r] = t[r]
 
-    # sphere centers p_s = sum_l onehot[s, l] * (R_l c_s + t_l)
+    # pass 2: sphere centers p_s = sum_l onehot[s, l] * (R_l c_s + t_l)
+    # and J[s, :, j] = jmask[s, j] * (z_j x (p - o_j)), frames from scratch.
+    # joint j's axis frame is the frame BEFORE it: frames_ref[j]; its z
+    # axis is R[:, 2] = entries (2, 5, 8), origin t = entries (9..11).
     for s in range(S):
         p = [None] * 3
         for l in range(d):
             w = onehot_ref[s, l]
-            Rl, tl = link_R[l], link_t[l]
             for r in range(3):
                 contrib = w * (
-                    Rl[r][0] * scent_ref[s, 0]
-                    + Rl[r][1] * scent_ref[s, 1]
-                    + Rl[r][2] * scent_ref[s, 2]
-                    + tl[r]
+                    frames_ref[l + 1, 3 * r + 0] * scent_ref[s, 0]
+                    + frames_ref[l + 1, 3 * r + 1] * scent_ref[s, 1]
+                    + frames_ref[l + 1, 3 * r + 2] * scent_ref[s, 2]
+                    + frames_ref[l + 1, 9 + r]
                 )
                 p[r] = contrib if p[r] is None else p[r] + contrib
         for r in range(3):
             centers_ref[s, r, 0] = p[r]
 
-        # J[s, :, j] = jmask[s, j] * (z_j x (p - o_j))
         for j in range(d):
             w = jmask_ref[s, j]
-            zx, zy, zz = z_ax[j]
-            rx = p[0] - o_pt[j][0]
-            ry = p[1] - o_pt[j][1]
-            rz = p[2] - o_pt[j][2]
+            zx = frames_ref[j, 2]
+            zy = frames_ref[j, 5]
+            zz = frames_ref[j, 8]
+            rx = p[0] - frames_ref[j, 9]
+            ry = p[1] - frames_ref[j, 10]
+            rz = p[2] - frames_ref[j, 11]
             J_ref[s, 0, j, 0] = w * (zy * rz - zz * ry)
             J_ref[s, 1, j, 0] = w * (zz * rx - zx * rz)
             J_ref[s, 2, j, 0] = w * (zx * ry - zy * rx)
@@ -168,6 +174,7 @@ def arm_fk_spheres_pallas(consts, base, scent, onehot, jmask, q,
                          lambda i, *_: (0, 0, 0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((d + 1, 12, _SUB, _LANE), jnp.float32)],
     )
 
     kernel = functools.partial(_fk_kernel, d=d, S=S)
