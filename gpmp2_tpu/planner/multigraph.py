@@ -348,10 +348,26 @@ def optimize_multigraph(prob: MultiGraphProblem, pose, vel, *,
     semantics as solver/optimize.py, specialized to a dense solve).
 
     Returns (pose, vel, final_error, iters, converged)."""
+    import warnings
+
     space = prob.space
     M, d = pose.shape[0], space.dim
     nvar = M * 2 * d
     dtype = pose.dtype
+    # the dense jacfwd + (nvar x nvar) Cholesky are O(nvar^2) memory /
+    # O(nvar^3) work — right for the reference's tens-of-nodes planner
+    # DAGs, quadratic blow-up beyond. Warn loudly instead of silently
+    # compiling a monster; chain-structured problems belong to plan_batch.
+    if nvar > 2048:
+        warnings.warn(
+            f"optimize_multigraph: dense normal equations with "
+            f"{nvar} variables ({M} nodes x {2 * d}) — O(nvar^2) memory "
+            f"and O(nvar^3) solve. Multi-chain planner graphs are meant "
+            f"to stay at tens of nodes (graph_utils.py semantics); for "
+            f"long chain-structured problems use plan_batch's "
+            f"block-tridiagonal solver instead.",
+            stacklevel=2,
+        )
 
     def err_of(p, v):
         return multigraph_error(prob, p, v)

@@ -177,3 +177,33 @@ class TestOptimizeAndPath:
         nc = np.asarray([0.0, 0.0, 0.1, 5.0])
         path = shortest_path(edges, ec, nc)
         assert path == [0, 2, 1]
+
+    def test_large_graph_warns(self):
+        """The dense-solve size guard warns past ~tens of nodes."""
+        import warnings
+
+        from gpmp2_tpu.geometry.statespace import VectorSpace
+        from gpmp2_tpu.kinematics.fk import PointRobotFK
+        from gpmp2_tpu.kinematics.robot import make_robot_model
+        from gpmp2_tpu.planner.multigraph import make_multigraph_problem
+
+        robot = make_robot_model(PointRobotFK(), [(0, 0.1, (0.0, 0.0, 0.0))])
+        xs = np.linspace(-2, 2, 21)
+        X, Y = np.meshgrid(xs, xs)
+        sdf = PlanarSDF(
+            origin=jnp.asarray([-2.0, -2.0]), cell_size=jnp.asarray(0.2),
+            data=jnp.asarray(np.sqrt(X**2 + Y**2) - 0.5),
+        )
+        M = 600  # 600 nodes x 4 vars = 2400 > 2048 guard
+        edges = np.stack([np.arange(M - 1), np.arange(1, M)], axis=1).astype(np.int32)
+        prob = make_multigraph_problem(
+            robot, sdf, edges, np.zeros(2), np.zeros(2), np.ones(2),
+            np.zeros(2), dt=0.1, Qc=np.eye(2), cost_sigma=0.1, epsilon=0.2,
+            obs_check_inter=0,
+        )
+        pose = jnp.zeros((M, 2))
+        vel = jnp.zeros((M, 2))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            optimize_multigraph(prob, pose, vel, max_iter=1)
+            assert any("dense normal equations" in str(x.message) for x in w)
