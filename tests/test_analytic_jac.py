@@ -226,3 +226,81 @@ class TestLimitLinearization:
                                    rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(float(err), float(traj_error(prob, traj)),
                                    rtol=1e-12)
+
+
+class TestGradientConsistency:
+    """Global invariant: traj_linearize's b must equal -grad(traj_error)
+    wrt the state tangent on a FULLY-featured problem (obstacle + GP-interp
+    + limits + dynamics-off + self-collision + workspace + replan slots all
+    active at once). This pins the whole assembly — slice adds, one-hot
+    slot routing, widened Gram blocks — against AD of the scalar error,
+    independently of the FactorGraph parity check. (Hinge kinks: the state
+    is nudged so no residual sits exactly on a boundary.)"""
+
+    def test_b_equals_minus_grad(self):
+        import dataclasses as dc
+
+        from gpmp2_tpu.planner import Trajectory
+        from gpmp2_tpu.planner.batch import set_workspace_prior
+        from gpmp2_tpu.planner.problem import traj_error, traj_linearize
+        from gpmp2_tpu.planner.traj_utils import init_traj_straight_line
+
+        F64 = jnp.float64
+        robot = generate_arm("WAMArm", dtype=F64)
+        n = 24
+        cell = 3.0 / (n - 1)
+        g = -1.5 + cell * np.arange(n)
+        Z, Y, X = np.meshgrid(g, g, g, indexing="ij")
+        dist = np.sqrt(X**2 + Y**2 + (Z - 0.4) ** 2) - 0.35
+        sdf = SignedDistanceField(
+            origin=jnp.asarray([-1.5, -1.5, -1.5], F64),
+            cell_size=jnp.asarray(cell, F64), data=jnp.asarray(dist, F64),
+        )
+        setting = TrajOptimizerSetting(
+            dof=7, total_step=5, total_time=2.0, epsilon=0.25,
+            cost_sigma=0.05, obs_check_inter=3, Qc=np.eye(7),
+            flag_pos_limit=True,
+            joint_pos_limits_down=-1.1 * np.ones(7),
+            joint_pos_limits_up=1.1 * np.ones(7),
+            flag_vel_limit=True, vel_limits=0.9 * np.ones(7),
+        )
+        start = jnp.asarray([-0.8, -1.0, 1.2, 1.29, 1.1, -0.106, 1.4], F64)
+        goal = jnp.asarray([-0.0, 0.94, 0.0, 1.3, 0.0, -0.919, 1.2], F64)
+        z = jnp.zeros(7, F64)
+        prob = make_problem(
+            robot, sdf, start, z, goal, z, setting, dtype=F64,
+            sdf_pack=False, num_extra=2, num_ws=1,
+            self_collision_pairs=[(0, 10, 0.3, 0.5), (1, 15, 0.25, 0.5)],
+        )
+        prob = set_workspace_prior(prob, 0, 2, 5, point=[0.2, 0.1, 0.7],
+                                   pos_sigma=0.05)
+        prob = dc.replace(
+            prob,
+            extra_idx=prob.extra_idx.at[0].set(1).at[1].set(3),
+            extra_pose=prob.extra_pose.at[0].set(start).at[1].set(goal),
+            extra_pose_w=prob.extra_pose_w + 25.0,
+            extra_vel_w=prob.extra_vel_w + 9.0,
+        )
+        rng = np.random.default_rng(0)
+        traj = init_traj_straight_line(robot.space, start, goal, 5, 2.0)
+        traj = Trajectory(
+            traj.pose + 0.0137 * jnp.asarray(rng.normal(size=traj.pose.shape)),
+            traj.vel + 0.0091 * jnp.asarray(rng.normal(size=traj.vel.shape)),
+        )
+
+        H_diag, H_off, b, err = traj_linearize(prob, traj)
+
+        def err_of(flat):
+            dp = flat.reshape(6, 14)
+            return traj_error(
+                prob,
+                Trajectory(traj.pose + dp[:, :7], traj.vel + dp[:, 7:]),
+            )
+
+        # error value agrees between the two paths
+        np.testing.assert_allclose(
+            float(err), float(err_of(jnp.zeros(84, F64))), rtol=1e-12
+        )
+        grad = jax.grad(err_of)(jnp.zeros(84, F64)).reshape(6, 14)
+        np.testing.assert_allclose(np.asarray(b), -np.asarray(grad),
+                                   rtol=1e-7, atol=1e-8)
