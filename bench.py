@@ -121,8 +121,13 @@ def main():
         robot, sdf, starts[0], zeros[0], goals[0], zeros[0], setting
     )
     axes = infer_batch_axes(probs, template)
+    # chunk_size 12: one chunk covers the typical ~6.3 accepted + rejected
+    # attempts, so most batches finish without a second full-size chunk
+    # (measured: chunk 8 -> 1046 plans/s, 12 -> 1266, 16 -> 1033; quality
+    # stats identical — chunking only changes scheduling)
     params = dataclasses.replace(
-        optimizer_params_from_setting(setting), loop=LOOP
+        optimizer_params_from_setting(setting), loop=LOOP,
+        chunk_size=int(os.environ.get("BENCH_CHUNK", "12")),
     )
 
     init = jax.vmap(
