@@ -78,7 +78,12 @@ class OptimizerParams:
     # loop structure
     loop: str = "chunked"  # 'chunked' | 'static' | 'dynamic'
     reject_budget: int = 14  # extra steps to absorb rejected attempts
-    chunk_size: int = 8  # steps per host round-trip ('chunked' mode)
+    # steps per host round-trip ('chunked' mode). 12 covers the typical
+    # accepted+rejected attempt count of an LM solve in ONE chunk, so most
+    # batches never dispatch a second full-size chunk (measured on the WAM
+    # bench: 8 -> 1046 plans/s, 12 -> 1266-1286; results are identical —
+    # chunking is pure scheduling).
+    chunk_size: int = 12
     # straggler compaction ('chunked' mode with data_axes): between chunks,
     # gather still-active lanes into a power-of-two batch so late
     # iterations don't pay full-batch linearize cost for converged lanes.
