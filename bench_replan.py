@@ -71,7 +71,13 @@ def main():
     import jax as _jax
     from gpmp2_tpu.planner.traj_utils import init_traj_straight_line
 
-    fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B)
+    # warm_iter 3: a warm update accepts ~2 steps; trimming the static
+    # budget 4+4 -> 3+3 steps raises throughput 2810.8 -> 3256.2 updates/s
+    # at converged_frac 0.931 vs 0.940 (a straggler lane simply improves
+    # further on its NEXT update)
+    warm_iter = int(os.environ.get("BENCH_WARM_ITER", "3"))
+    fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B,
+                               warm_iter=warm_iter)
     fleet.init_factor_graph(starts, zeros, goals, zeros)
     init = _jax.vmap(
         lambda s, g: init_traj_straight_line(
