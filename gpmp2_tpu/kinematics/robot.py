@@ -162,6 +162,32 @@ def sphere_centers_and_jac(model: RobotModel, q):
     return f(q), J
 
 
+def sphere_centers_axes(model: RobotModel, q):
+    """ArmFK hot-path form: centers (S, 3), joint z-axes (d, 3), joint
+    origins (d, 3) — WITHOUT materializing the (S, 3, d) Jacobian.
+
+    The obstacle factor only ever consumes grad_sdf @ J; by the scalar
+    triple-product identity
+
+        g . (z_j x (p - o_j)) = z_j . (p x g) - g . (z_j x o_j)
+
+    the row-wise chain rule becomes one small contraction against these
+    per-config axis frames (see problem.py:_obs_res_jac_arm_fused), so
+    the (S, d, 3) cross-product intermediates of `sphere_centers_and_jac`
+    (the dominant FK-side traffic at bench shape) never exist.
+    """
+    fk = model.fk
+    poses = fk_mod.link_poses(fk, q)
+    rot = poses.rot[model.sphere_link_ids]
+    trans = poses.trans[model.sphere_link_ids]
+    centers = (rot @ model.sphere_centers[..., None])[..., 0] + trans
+    base = fk.base_pose
+    frame_rots = jnp.concatenate([base.rot[None], poses.rot[:-1]], axis=0)
+    frame_trans = jnp.concatenate([base.trans[None], poses.trans[:-1]], axis=0)
+    z_axes = frame_rots[..., :, 2]  # (d, 3)
+    return centers, z_axes, frame_trans
+
+
 def _mobile_sphere_jac(model: RobotModel, q):
     """Analytic sphere Jacobians for SE(2)-based mobile families.
 

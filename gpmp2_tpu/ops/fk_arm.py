@@ -37,7 +37,9 @@ inside the unrolled loops.
 (centers (..., S, 3), J (..., S, 3, d)); a jax.custom_batching.custom_vmap
 rule flattens any vmapped batch dims into the kernel's config axis, so the
 planner's problem-batch vmap hits the kernel once with B*n_configs lanes.
-Falls back to the vectorized jnp path off-TPU (or with GPMP2_TPU_PALLAS=0).
+The kernel path is OPT-IN via GPMP2_TPU_FK_KERNEL=1 (see `_use_pallas`);
+GPMP2_TPU_PALLAS=0 acts as a global kill-switch. All other configurations
+use the vectorized jnp path.
 """
 
 from __future__ import annotations
@@ -228,6 +230,8 @@ def _use_pallas(q):
     the jnp path serves well."""
     import os
 
+    if os.environ.get("GPMP2_TPU_PALLAS") == "0":  # global kill-switch
+        return False
     if os.environ.get("GPMP2_TPU_FK_KERNEL") != "1":
         return False
     return q.dtype == jnp.float32
@@ -242,23 +246,6 @@ def _jnp_fallback(model, qs):
     flat = qs.reshape(-1, d)
     centers, J = jax.vmap(lambda q: sphere_centers_and_jac(model, q))(flat)
     S = centers.shape[1]
-    return centers.reshape(lead + (S, 3)), J.reshape(lead + (S, 3, d))
-
-
-def _jnp_flat_arm(model, qs):
-    """ArmFK fast path: the flat array formulation (_fk_spheres_jnp) —
-    the same math as the per-config Pose3 chain but expressed as a handful
-    of stacked (N, ...) ops, which XLA fuses far better than the
-    vmap-of-small-matmuls path."""
-    d = qs.shape[-1]
-    lead = qs.shape[:-1]
-    consts, base, scent, onehot, jmask = _structure_arrays(
-        model.fk, model, qs.dtype
-    )
-    centers, J = _fk_spheres_jnp(
-        consts, base, scent, onehot, jmask, qs.reshape(-1, d)
-    )
-    S = scent.shape[0]
     return centers.reshape(lead + (S, 3)), J.reshape(lead + (S, 3, d))
 
 
@@ -346,11 +333,10 @@ def arm_fk_spheres_batched(model, qs):
 
     fk = model.fk
     if not isinstance(fk, fk_mod.ArmFK) or not _use_pallas(qs):
-        # NOTE: the flat-array formulation (_jnp_flat_arm) measures ~5 ms
+        # NOTE: the flat-array formulation (_fk_spheres_jnp, which remains
+        # the batched-robot vmap rule's implementation) measures ~5 ms
         # SLOWER per bench linearize than this vmapped Pose3 chain on v5e
-        # (XLA fuses the per-config path better); it remains the
-        # batched-robot vmap rule's implementation where the per-config
-        # path is unavailable.
+        # — XLA fuses the per-config path better.
         return _jnp_fallback(model, qs)
     d = qs.shape[-1]
     lead = qs.shape[:-1]

@@ -316,6 +316,12 @@ class FactorGraph:
         """Any user residual: unary `res(pose_i, vel_i)` or adjacent-binary
         `res(p1, v1, p2, v2)` returning a (residual_dim,) vector. Each
         custom factor traces individually (its own group)."""
+        if len(idx) not in (1, 2):
+            raise ValueError(
+                f"add_custom supports unary (i,) or adjacent-binary "
+                f"(i, i+1) factors; got {len(idx)} indices {tuple(idx)}. "
+                f"Use planner.multigraph for arbitrary topologies."
+            )
         self._check_idx(*idx)
         W = jnp.asarray(sigma_or_W)
         if W.ndim < 2:

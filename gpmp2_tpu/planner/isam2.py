@@ -317,11 +317,72 @@ class ISAM2BatchSessions:
             goal_pose_w=w_pose, goal_vel_w=w_vel,
         )
 
+    def remove_goal_config_and_vel(self, lanes=None):
+        """Drop the goal priors for `lanes` (default: all) — weight
+        masking, lane-wise mirror of ISAM2TrajOptimizer
+        (ISAM2TrajOptimizer-inl.h:146-156)."""
+        if lanes is None:
+            w_pose = jnp.zeros_like(self._probs.goal_pose_w)
+            w_vel = jnp.zeros_like(self._probs.goal_vel_w)
+        else:
+            # weight leaves may be shared (unbatched) — lane-selective
+            # removal needs them batched; broadcast up if necessary
+            w_pose, w_vel = self._probs.goal_pose_w, self._probs.goal_vel_w
+            if w_pose.ndim == 1:
+                w_pose = jnp.tile(w_pose[None], (self._B, 1))
+                w_vel = jnp.tile(w_vel[None], (self._B, 1))
+                self._axes = dataclasses.replace(
+                    self._axes, goal_pose_w=0, goal_vel_w=0
+                )
+            mask = jnp.zeros((self._B, 1), bool).at[jnp.asarray(lanes)].set(True)
+            w_pose = jnp.where(mask, 0.0, w_pose)
+            w_vel = jnp.where(mask, 0.0, w_vel)
+        self._probs = dataclasses.replace(
+            self._probs, goal_pose_w=w_pose, goal_vel_w=w_vel
+        )
+
     def fix_config_and_vel(self, state_idx, pose, vel):
         """Pin each lane's executed state: state_idx (B,), pose/vel (B, d)
         (the per-lane fixConfigAndVel sweep of a receding-horizon fleet).
         All five slot scatters fuse into ONE jitted dispatch — each eager
         device call costs a full round trip on a remote-tunnel backend."""
+        d = self._robot.space.dim
+        self._write_slots(
+            state_idx, pose, vel,
+            np.full((self._B, d), 1.0 / self._setting.conf_prior_sigma**2),
+            np.full((self._B, d), 1.0 / self._setting.vel_prior_sigma**2),
+        )
+
+    def add_pose_estimate(self, state_idx, pose, pose_cov):
+        """Fuse measured poses lane-wise: state_idx (B,), pose (B, d),
+        pose_cov scalar / (d,) / (B, d) / (B, d, d) (diagonal used) —
+        fleet mirror of ISAM2TrajOptimizer-inl.h:174-183. Velocity weight
+        zero: the slot constrains pose only."""
+        d = self._robot.space.dim
+        B = self._B
+        self._write_slots(
+            state_idx, pose, np.zeros((B, d)),
+            self._cov_to_prec_batch(pose_cov, d),
+            np.zeros((B, d)),
+        )
+
+    def add_state_estimate(self, state_idx, pose, pose_cov, vel, vel_cov):
+        """Fuse measured full states lane-wise (-inl.h:186-195)."""
+        d = self._robot.space.dim
+        self._write_slots(
+            state_idx, pose, vel,
+            self._cov_to_prec_batch(pose_cov, d),
+            self._cov_to_prec_batch(vel_cov, d),
+        )
+
+    def _cov_to_prec_batch(self, cov, d):
+        """Covariance in any broadcastable form -> (B, d) precision diag."""
+        cov = np.asarray(cov, np.float64)
+        if cov.ndim == 3:  # (B, d, d) full matrices
+            cov = np.diagonal(cov, axis1=-2, axis2=-1)
+        return np.broadcast_to(1.0 / cov, (self._B, d))
+
+    def _write_slots(self, state_idx, pose, vel, pose_w, vel_w):
         assert (self._slot < self._K).all(), "out of replanning prior slots"
         dtype = self._probs.extra_pose.dtype
         upd = _pin_slots_jit(
@@ -330,8 +391,7 @@ class ISAM2BatchSessions:
             self._probs.extra_vel_w,
             jnp.asarray(self._slot), jnp.asarray(state_idx, jnp.int32),
             jnp.asarray(pose, dtype), jnp.asarray(vel, dtype),
-            1.0 / self._setting.conf_prior_sigma**2,
-            1.0 / self._setting.vel_prior_sigma**2,
+            jnp.asarray(pose_w, dtype), jnp.asarray(vel_w, dtype),
         )
         self._probs = dataclasses.replace(
             self._probs,
@@ -348,20 +408,18 @@ class ISAM2BatchSessions:
         return getattr(self, "_res", None)
 
 
-@partial(jax.jit, static_argnums=(9, 10))
+@jax.jit
 def _pin_slots_jit(extra_idx, extra_pose, extra_vel, extra_pose_w,
                    extra_vel_w, slot, state_idx, pose, vel, w, wv):
     """Write one pin-slot per lane (lane b's slot[b]) in a single fused
-    program (ISAM2BatchSessions.fix_config_and_vel)."""
+    program (ISAM2BatchSessions fix/add ops). w, wv: (B, d) precision
+    diagonals."""
     B = pose.shape[0]
     lanes = jnp.arange(B)
-    dtype = extra_pose.dtype
     return (
         extra_idx.at[lanes, slot].set(state_idx),
         extra_pose.at[lanes, slot].set(pose),
         extra_vel.at[lanes, slot].set(vel),
-        extra_pose_w.at[lanes, slot].set(
-            jnp.full(pose.shape, w, dtype)),
-        extra_vel_w.at[lanes, slot].set(
-            jnp.full(vel.shape, wv, dtype)),
+        extra_pose_w.at[lanes, slot].set(w),
+        extra_vel_w.at[lanes, slot].set(wv),
     )

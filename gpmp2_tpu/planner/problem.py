@@ -195,14 +195,20 @@ def _obs_res_and_jac(prob: TrajProblem, conf):
 
 def _obs_res_and_jac_batched(prob: TrajProblem, confs):
     """Batched analytic obstacle residual + Jacobian: (..., d) configs ->
-    (..., S), (..., S, d). Same math as `_obs_res_and_jac` but evaluated
-    through `arm_fk_spheres_batched`, which fuses FK + sphere centers +
-    geometric Jacobians into one Pallas kernel on TPU (ops/fk_arm.py) and
-    lets the planner feed ALL collision states (support + interpolated)
-    through a single FK pass and a single SDF gather."""
-    from ..kinematics.robot import sphere_centers_and_jac  # noqa: F401
+    (..., S), (..., S, d). Feeds ALL collision states (support +
+    interpolated) through a single FK pass and a single SDF gather.
+
+    Revolute arms route through the triple-product form
+    (`_obs_res_jac_arm_fused`): the (S, 3, d) geometric Jacobian and its
+    (S, d, 3) cross-product intermediates never materialize — only the
+    per-config joint axis frames do. Other families use the generic
+    centers+Jacobian path (`arm_fk_spheres_batched`)."""
+    from ..kinematics import fk as fk_mod
     from ..obstacle.sdf import planar_sdf_lookup, sdf_lookup
-    from ..ops.fk_arm import arm_fk_spheres_batched
+    from ..ops.fk_arm import _use_pallas, arm_fk_spheres_batched
+
+    if isinstance(prob.robot.fk, fk_mod.ArmFK) and not _use_pallas(confs):
+        return _obs_res_jac_arm_fused(prob, confs)
 
     centers, Jc = arm_fk_spheres_batched(prob.robot, confs)
     eps_total = prob.robot.sphere_radii + prob.eps
@@ -221,6 +227,72 @@ def _obs_res_and_jac_batched(prob: TrajProblem, confs):
         0.0,
     )
     return r, J
+
+
+def _obs_res_jac_arm_fused(prob: TrajProblem, confs):
+    """Obstacle residual + Jacobian for revolute DH arms via the scalar
+    triple product (see kinematics/robot.py:sphere_centers_axes):
+
+        J[s, j] = -g_s . (z_j x (p_s - o_j))
+                = -(z_j . (p_s x g_s) - g_s . (z_j x o_j))
+
+    i.e. one (S, 6) x (d, 6) contraction per config against
+    [p x g | -g] and [z | z x o] — the same math as the reference's
+    row-wise chain rule (ObstacleSDFFactor-inl.h:40-57 with Arm.cpp's
+    geometric Jacobian) with the (S, d, 3) cross intermediates folded
+    away. Planar variants fall out with grad_z = 0."""
+    from ..kinematics.robot import sphere_centers_axes
+    from ..obstacle.sdf import planar_sdf_lookup, sdf_lookup
+
+    d = confs.shape[-1]
+    lead = confs.shape[:-1]
+    flat = confs.reshape(-1, d)
+    centers, z, o = jax.vmap(
+        lambda q: sphere_centers_axes(prob.robot, q)
+    )(flat)  # (N, S, 3), (N, d, 3), (N, d, 3)
+    eps_total = prob.robot.sphere_radii + prob.eps
+    if prob.planar:
+        dist, g2, ok = planar_sdf_lookup(prob.sdf, centers[..., :2])
+        g = jnp.concatenate([g2, jnp.zeros_like(g2[..., :1])], axis=-1)
+    else:
+        dist, g, ok = sdf_lookup(prob.sdf, centers, screen_thresh=eps_total)
+    active = ok & (dist <= eps_total)
+    r = jnp.where(active, eps_total - dist, 0.0)
+    cg = jnp.concatenate([jnp.cross(centers, g), -g], axis=-1)  # (N, S, 6)
+    zw = jnp.concatenate([z, jnp.cross(z, o)], axis=-1)  # (N, d, 6)
+    jmask = (
+        jnp.arange(d)[None, :] <= prob.robot.sphere_link_ids[:, None]
+    )  # (S, d)
+    J = jnp.where(
+        active[..., None] & jmask,
+        -jnp.einsum("nsk,njk->nsj", cg, zw),
+        0.0,
+    )
+    S = r.shape[-1]
+    return r.reshape(lead + (S,)), J.reshape(lead + (S, d))
+
+
+def _obs_err_batched(prob: TrajProblem, confs):
+    """Hinge obstacle residuals for a stack of configurations (..., d) ->
+    (..., S): ONE batched FK pass + ONE SDF gather for all states — the
+    error-only twin of `_obs_res_and_jac_batched`, used by `traj_error` /
+    `collision_cost` so the manual-graph API and the quality metrics run at
+    planner-linearize speed instead of the per-state vmap."""
+    from ..obstacle.factors import hinge_loss
+    from ..obstacle.sdf import planar_sdf_lookup, sdf_lookup
+
+    lead = confs.shape[:-1]
+    flat = confs.reshape(-1, confs.shape[-1])
+    centers = jax.vmap(
+        lambda q: sphere_centers_world(prob.robot, q)
+    )(flat)  # (N, S, 3)
+    eps_total = prob.robot.sphere_radii + prob.eps
+    if prob.planar:
+        dist, _, ok = planar_sdf_lookup(prob.sdf, centers[..., :2])
+    else:
+        dist, _, ok = sdf_lookup(prob.sdf, centers, screen_thresh=eps_total)
+    r = hinge_loss(dist, eps_total, ok)
+    return r.reshape(lead + r.shape[-1:])
 
 
 def _pos_limit_res(prob: TrajProblem, pose):
@@ -338,23 +410,45 @@ def traj_error(prob: TrajProblem, traj: Trajectory):
     )(pose[:-1], vel[:-1], pose[1:], vel[1:])
     err += quad_err_full(W_gp, gp_r)
 
-    # obstacle factors at support states
-    obs_r = jax.vmap(lambda p: _obs_res(prob, p))(pose)
-    err += quad_err_diag(prob.obs_w, obs_r)
-
-    # GP-interpolated obstacle factors
-    if prob.taus.shape[0] > 0:
+    # obstacle factors (support + GP-interpolated states): for vector
+    # spaces ALL collision states run through one batched FK pass + one
+    # SDF gather, mirroring the fused linearize path (the per-state vmap
+    # was measurably slower for the manual-graph API / quality metrics)
+    T_taus = prob.taus.shape[0]
+    d = space.dim
+    n = prob.N + 1
+    if T_taus > 0 and space.is_vector:
         lam, psi = _interp_coeffs_all(prob)
+        lam_p = lam[:, :d, :]
+        psi_p = psi[:, :d, :]
 
-        def interval(p1, v1, p2, v2):
-            def at_tau(l, ps):
-                pt = interpolate_pose(space, InterpCoeffs(l, ps), p1, v1, p2, v2)
-                return _obs_res(prob, pt)
+        def conf_at(p1, v1, p2, v2):
+            s1 = jnp.concatenate([p1, v1], axis=-1)
+            s2 = jnp.concatenate([p2, v2], axis=-1)
+            return (
+                jnp.einsum("tde,e->td", lam_p, s1)
+                + jnp.einsum("tde,e->td", psi_p, s2)
+            )
 
-            return jax.vmap(at_tau)(lam, psi)
+        confs = jax.vmap(conf_at)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+        all_confs = jnp.concatenate(
+            [pose, confs.reshape((n - 1) * T_taus, d)], axis=0
+        )
+        err += quad_err_diag(prob.obs_w, _obs_err_batched(prob, all_confs))
+    else:
+        err += quad_err_diag(prob.obs_w, _obs_err_batched(prob, pose))
+        if T_taus > 0:
+            lam, psi = _interp_coeffs_all(prob)
 
-        rs = jax.vmap(interval)(pose[:-1], vel[:-1], pose[1:], vel[1:])
-        err += quad_err_diag(prob.obs_w, rs)
+            def interval(p1, v1, p2, v2):
+                def at_tau(l, ps):
+                    pt = interpolate_pose(space, InterpCoeffs(l, ps), p1, v1, p2, v2)
+                    return _obs_res(prob, pt)
+
+                return jax.vmap(at_tau)(lam, psi)
+
+            rs = jax.vmap(interval)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+            err += quad_err_diag(prob.obs_w, rs)
 
     if prob.flag_pos_limit:
         r = jax.vmap(lambda p: _pos_limit_res(prob, p))(pose)
@@ -718,4 +812,4 @@ def collision_cost(prob: TrajProblem, poses):
     the reference's trajectory-quality metric
     (BatchTrajOptimizer-inl.h:87-100)."""
     prob0 = dataclasses.replace(prob, eps=jnp.zeros_like(prob.eps))
-    return jnp.sum(jax.vmap(lambda p: _obs_res(prob0, p))(poses))
+    return jnp.sum(_obs_err_batched(prob0, poses))

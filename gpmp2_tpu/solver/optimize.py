@@ -368,6 +368,40 @@ def _gather_data(data, data_axes, idx):
 # cache hits must pass identical function objects each time (plan_batch
 # does, via its own lru caches over axes/space).
 _CHUNK_CACHE: dict = {}
+# structural-key -> last function identities, to detect callers that
+# rebuild equivalent closures per call (each one re-jits silently)
+_CHUNK_IDENTITY_SEEN: dict = {}
+
+
+def _fn_code(f):
+    """Best-effort structural identity of a callable (its code object)."""
+    code = getattr(f, "__code__", None)
+    if code is not None:
+        return code
+    inner = getattr(f, "func", None)  # functools.partial
+    if inner is not None:
+        return _fn_code(inner)
+    return type(f)
+
+
+def _warn_unstable_identity(linearize_fn, retract_fn, params):
+    """One-line notice when a cache miss is caused by a NEW function object
+    with the SAME code as a previously cached one — the caller is
+    constructing fresh linearize/retract closures per call and every solve
+    re-traces (plan_batch avoids this via its own lru caches)."""
+    skey = (_fn_code(linearize_fn), _fn_code(retract_fn), params)
+    prev = _CHUNK_IDENTITY_SEEN.get(skey)
+    _CHUNK_IDENTITY_SEEN[skey] = (linearize_fn, retract_fn)
+    if prev is not None and prev != (linearize_fn, retract_fn):
+        import sys
+
+        print(
+            "gpmp2_tpu.optimize_batch: chunk-cache miss — linearize_fn/"
+            "retract_fn are new function objects with identical code; each "
+            "call re-jits the solve. Pass stable function objects (or use "
+            "planner.batch.plan_batch) to reuse the compiled chunks.",
+            file=sys.stderr,
+        )
 
 
 def _chunked_callables(linearize_fn, retract_fn, params):
@@ -375,6 +409,7 @@ def _chunked_callables(linearize_fn, retract_fn, params):
     hit = _CHUNK_CACHE.get(key)
     if hit is not None:
         return hit
+    _warn_unstable_identity(linearize_fn, retract_fn, params)
     make_init, step = _build_fns(linearize_fn, retract_fn, params)
     fns = (
         jax.jit(make_init),
@@ -411,6 +446,27 @@ def _static_callable(linearize_fn, retract_fn, params):
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
+
+
+def _any_leaf_sharded(*trees) -> bool:
+    """True when any array leaf carries a non-replicated multi-device
+    sharding. Compaction gathers/scatters lanes by dynamic index, which
+    forces resharding collectives on every chunk boundary — silently
+    disable it for sharded batches (the dryrun previously had to pass
+    compact=False by hand)."""
+    for tree in trees:
+        if tree is None:
+            continue
+        for leaf in jax.tree_util.tree_leaves(tree):
+            s = getattr(leaf, "sharding", None)
+            if s is None:
+                continue
+            try:
+                if s.num_devices > 1 and not s.is_fully_replicated:
+                    return True
+            except Exception:
+                return True  # unknown sharding type: be conservative
+    return False
 
 
 def optimize_batch(
@@ -475,6 +531,7 @@ def optimize_batch(
         can_compact = (
             params.compact and data is not None and data_axes is not None
             and B0 >= 2 * params.compact_floor
+            and not _any_leaf_sharded(data, traj0)
         )
         full_st = None  # full-size snapshot once compacted (final values
         abs_idx = None  # for finished lanes); abs_idx maps lane -> 0..B0

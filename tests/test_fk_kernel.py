@@ -83,12 +83,17 @@ class TestBatchedDispatch:
         np.testing.assert_allclose(np.asarray(J), np.asarray(J_r), atol=1e-6)
 
     def test_kernel_path_under_vmap(self, monkeypatch):
-        """GPMP2_TPU_PALLAS=1 on CPU: interpret-mode kernel through the
+        """GPMP2_TPU_FK_KERNEL=1 on CPU: interpret-mode kernel through the
         custom_vmap flattening rule (the planner's problem-batch shape)."""
-        monkeypatch.setenv("GPMP2_TPU_PALLAS", "1")
+        from gpmp2_tpu.ops.fk_arm import _use_pallas
+
+        monkeypatch.setenv("GPMP2_TPU_FK_KERNEL", "1")
         model = generate_arm("WAMArm")
         rng = np.random.default_rng(3)
         qs = jnp.asarray(rng.uniform(-1, 1, (3, 11, 7)).astype(np.float32))
+        # guard against the dispatch gate silently reverting to the jnp
+        # fallback (which would make this test vacuous)
+        assert _use_pallas(qs) is True
 
         def per_problem(q):
             return arm_fk_spheres_batched(model, q)

@@ -197,6 +197,62 @@ class TestBatchSessions:
             atol=1e-3,
         )
 
+    def test_fleet_measurement_fusion_matches_single(self):
+        """Lane-wise add_state_estimate / add_pose_estimate /
+        remove_goal_config_and_vel (the measurement-fusion ops of
+        ISAM2TrajOptimizer-inl.h:174-195 at fleet scale) match the
+        single-session replanner per lane."""
+        robot, sdf, setting = _world()
+        B = 3
+        rng = np.random.default_rng(7)
+        starts = jnp.asarray(
+            np.stack([[-0.8, dy] for dy in rng.uniform(-0.2, 0.2, B)]))
+        goals = jnp.asarray(
+            np.stack([[0.8, dy] for dy in rng.uniform(-0.2, 0.2, B)]))
+        zeros = jnp.zeros((B, 2))
+        res = batch_traj_optimize(robot, sdf, starts, zeros, goals, zeros,
+                                  setting)
+
+        fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B,
+                                   warm_iter=100)
+        fleet.init_factor_graph(starts, zeros, goals, zeros)
+        fleet.init_values(res.traj)
+        fleet.update()
+
+        measured = np.asarray(fleet.values().pose[:, 2]) + np.asarray(
+            [[0.05, -0.08]] * B)
+        meas_vel = np.tile([0.25, 0.0], (B, 1))
+        fleet.add_state_estimate(np.full(B, 2), measured, 1e-6 * np.ones(2),
+                                 meas_vel, 1e-6 * np.ones(2))
+        measured_p = np.asarray(fleet.values().pose[:, 5]) + np.asarray(
+            [[0.0, 0.06]] * B)
+        fleet.add_pose_estimate(np.full(B, 5), measured_p, 1e-6)
+        fleet.remove_goal_config_and_vel(lanes=[1])
+        fleet.update()
+        fleet_traj = fleet.values()
+
+        for b in range(B):
+            opt = ISAM2TrajOptimizer(robot, sdf, setting)
+            opt.init_factor_graph(starts[b], zeros[b], goals[b], zeros[b])
+            opt.init_values(
+                type(res.traj)(res.traj.pose[b], res.traj.vel[b]))
+            opt.update()
+            opt.add_state_estimate(2, measured[b], 1e-6 * np.ones(2),
+                                   meas_vel[b], 1e-6 * np.ones(2))
+            opt.add_pose_estimate(5, measured_p[b], 1e-6)
+            if b == 1:
+                opt.remove_goal_config_and_vel()
+            opt.update()
+            np.testing.assert_allclose(
+                np.asarray(fleet_traj.pose[b]), np.asarray(opt.values().pose),
+                atol=2e-3,
+            )
+        # the fused measurements actually pin the states
+        np.testing.assert_allclose(np.asarray(fleet_traj.pose[:, 2]),
+                                   measured, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(fleet_traj.pose[:, 5]),
+                                   measured_p, atol=1e-2)
+
     def test_partial_lane_goal_change(self):
         robot, sdf, setting = _world()
         B = 3
