@@ -1,15 +1,24 @@
 """Full benchmark suite over the BASELINE.md configs.
 
-Runs each config as one jitted batched solve and reports converged
-collision-free plans/sec plus quality stats. bench.py remains the
-single-metric headline (WAM 7-DOF); this suite gives the judge the other
-anchors:
+For each config this measures TWO things and prints ONE JSON line:
 
-  1. PointRobot2D    — 2-DOF point robot, OneObstacleDataset SDF, LM
-  2. MobileBase SE2  — Lie GP prior + vehicle dynamics, MobileMap1
-  3. Arm3 planar     — 3-link arm, joint+velocity limits
-  4. WAM 7-DOF 3D    — (bench.py's config, smaller batch here)
-  5. Multi-world     — per-problem SDF worlds (randomized discs)
+  - quality on the EXACT 512-problem set that the measured C++ oracle
+    solves (tools/oracle/suite_dump.py + gpmp2_oracle_suite.cpp): the
+    framework's converged / collision-free fractions print next to the
+    oracle's own on the identical problems (BASELINE_MEASURED_SUITE.json),
+    so a low fraction is attributable to the problem set, not the solver.
+  - throughput at a per-config batch size big enough to load the chip
+    (tiny 2D problems at B=512 leave a v5e mostly idle; the C++ baseline
+    cost is per-plan and independent of batching). Fresh draws from the
+    same distribution (seed 1). vs_baseline = good plans/s divided by the
+    oracle's measured plans/s on this machine.
+
+Configs:
+  1. PointRobot2D    - 2-DOF point robot, OneObstacleDataset SDF, LM
+  2. MobileBase SE2  - Lie GP prior + vehicle dynamics, MobileMap1
+  3. Arm3 planar     - 3-link arm, joint+velocity limits
+  4. WAM 7-DOF 3D    - (bench.py's config; unfiltered endpoints here)
+  5. Multi-world     - per-problem SDF worlds (randomized discs)
 
 Usage: python bench_suite.py [--cpu]   (prints one JSON line per config)
 """
@@ -30,7 +39,22 @@ if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 
 
-def run_config(name, robot, sdf, starts, goals, setting, B, **problem_kwargs):
+def _oracle_baselines():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED_SUITE.json")
+    try:
+        with open(path) as f:
+            return json.load(f)["configs"]
+    except Exception:
+        return {}
+
+
+def run_config(name, robot, sdf, starts, goals, setting, *, thru_B,
+               thru_starts, thru_goals, thru_sdf=None, oracle=None,
+               **problem_kwargs):
+    """Quality on the exact (512) set + throughput at thru_B. `sdf` may be
+    per-problem (MultiWorld); `thru_sdf` overrides it for the throughput
+    batch."""
     import jax
     import jax.numpy as jnp
 
@@ -45,57 +69,72 @@ def run_config(name, robot, sdf, starts, goals, setting, B, **problem_kwargs):
 
     dtype = jnp.float32
     space = robot.space
-    zeros = jnp.zeros((B, space.dim), dtype)
     template_sdf = problem_kwargs.pop("template_sdf", sdf)
-    probs = make_problem(robot, sdf, starts, zeros, goals, zeros, setting,
-                         **problem_kwargs)
-    template = make_problem(
-        robot, template_sdf, starts[0], zeros[0], goals[0], zeros[0],
-        setting, **problem_kwargs,
-    )
-    axes = infer_batch_axes(probs, template)
     params = optimizer_params_from_setting(setting)
 
-    init = jax.vmap(
-        lambda s, g: init_traj_straight_line(
-            space, s, g, setting.total_step, setting.total_time
+    def solve_set(this_sdf, s, g):
+        B = s.shape[0]
+        zeros = jnp.zeros((B, space.dim), dtype)
+        probs = make_problem(robot, this_sdf, s, zeros, g, zeros, setting,
+                             **problem_kwargs)
+        template = make_problem(
+            robot, template_sdf, s[0], zeros[0], g[0], zeros[0],
+            setting, **problem_kwargs,
         )
-    )(probs.start_pose, probs.end_pose)
+        axes = infer_batch_axes(probs, template)
+        init = jax.vmap(
+            lambda a, b: init_traj_straight_line(
+                space, a, b, setting.total_step, setting.total_time
+            )
+        )(probs.start_pose, probs.end_pose)
+        cc_jit = jax.jit(jax.vmap(collision_cost, in_axes=(axes, 0)))
 
-    cc_fn = jax.vmap(collision_cost, in_axes=(axes, 0))
+        def run():
+            t0 = time.perf_counter()
+            res = plan_batch(probs, init, params, axes)
+            cc = cc_jit(probs, res.traj.pose)
+            err = np.asarray(res.error)
+            conv = np.asarray(res.converged) & ~np.asarray(res.gave_up)
+            ccn = np.asarray(cc)
+            gave = np.asarray(res.gave_up)
+            iters = np.asarray(res.iterations)
+            return time.perf_counter() - t0, err, conv, ccn, gave, iters
 
-    def solve_impl(p, t):
-        res = plan_batch(p, t, params, axes)
-        return res, cc_fn(p, res.traj.pose)
+        t_compile, *_ = run()
+        best = np.inf
+        for _ in range(2):
+            t, err, conv, ccn, gave, iters = run()
+            best = min(best, t)
+        return best, t_compile, err, conv, ccn, gave, iters
 
-    solve = jax.jit(solve_impl)
+    # quality on the exact oracle problem set
+    _, _, err_q, conv_q, cc_q, gave_q, iters_q = solve_set(sdf, starts, goals)
+    # throughput at the big batch
+    t_thru, t_compile, err_t, conv_t, cc_t, gave_t, iters_t = solve_set(
+        thru_sdf if thru_sdf is not None else sdf, thru_starts, thru_goals)
 
-    t0 = time.perf_counter()
-    res, cc = solve(probs, init)
-    np.asarray(res.error)
-    t_compile = time.perf_counter() - t0
-
-    best = np.inf
-    for _ in range(2):
-        t0 = time.perf_counter()
-        res, cc = solve(probs, init)
-        err = np.asarray(res.error)
-        conv = np.asarray(res.converged) & ~np.asarray(res.gave_up)
-        ccn = np.asarray(cc)
-        best = min(best, time.perf_counter() - t0)
-
-    good = conv & (ccn < 1e-4)
+    good_t = conv_t & (cc_t < 1e-4)
+    plans_per_sec = int(good_t.sum()) / t_thru
     out = {
         "config": name,
-        "plans_per_sec": round(int(good.sum()) / best, 1),
-        "batch": B,
-        "converged_frac": round(float(conv.mean()), 4),
-        "gave_up_frac": round(float(np.asarray(res.gave_up).mean()), 4),
-        "collision_free_frac": round(float((ccn < 1e-4).mean()), 4),
-        "solve_s": round(best, 4),
+        "plans_per_sec": round(plans_per_sec, 1),
+        "batch": int(thru_starts.shape[0]),
+        "solve_s": round(t_thru, 4),
         "compile_s": round(t_compile, 1),
-        "mean_iters": round(float(np.asarray(res.iterations).mean()), 2),
+        "converged_frac": round(float(conv_t.mean()), 4),
+        "gave_up_frac": round(float(gave_t.mean()), 4),
+        "collision_free_frac": round(float((cc_t < 1e-4).mean()), 4),
+        "mean_iters": round(float(iters_t.mean()), 2),
+        # like-for-like quality on the oracle's exact 512 problems
+        "q512_converged_frac": round(float(conv_q.mean()), 4),
+        "q512_collision_free_frac": round(float((cc_q < 1e-4).mean()), 4),
     }
+    if oracle:
+        out["vs_baseline"] = round(plans_per_sec / oracle["plans_per_sec"], 2)
+        out["oracle_plans_per_sec"] = oracle["plans_per_sec"]
+        out["oracle_q512_converged_frac"] = round(oracle["converged"] / 512, 4)
+        out["oracle_q512_collision_free_frac"] = round(
+            oracle["collision_free"] / 512, 4)
     print(json.dumps(out), flush=True)
     return out
 
@@ -103,6 +142,13 @@ def run_config(name, robot, sdf, starts, goals, setting, B, **problem_kwargs):
 def main():
     import jax
     import jax.numpy as jnp
+
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from gpmp2_tpu.datasets import (
         generate_2d_dataset,
@@ -117,7 +163,12 @@ def main():
 
     B = int(os.environ.get("SUITE_BATCH", "512"))
     dtype = jnp.float32
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(0)   # exact oracle problem sets
+    rng_t = np.random.default_rng(1)  # throughput batches, same distribution
+    oracles = _oracle_baselines()
+
+    def tb(name, default):
+        return int(os.environ.get(name, str(default)))
 
     # ---- 1. PointRobot2D ------------------------------------------------
     ds = generate_2d_dataset("OneObstacleDataset")
@@ -128,13 +179,16 @@ def main():
         obs_check_inter=5, opt_type="lm", max_iter=50, rel_thresh=1e-2,
         Qc=np.eye(2),
     )
-    starts = jnp.asarray(
-        np.stack([rng.uniform(-0.9, -0.5, B), rng.uniform(-0.9, 0.0, B)], -1), dtype
-    )
-    goals = jnp.asarray(
-        np.stack([rng.uniform(1.4, 1.8, B), rng.uniform(1.2, 1.8, B)], -1), dtype
-    )
-    run_config("PointRobot2D", robot, sdf2, starts, goals, setting, B)
+    def draw_pr(r, n):
+        s = np.stack([r.uniform(-0.9, -0.5, n), r.uniform(-0.9, 0.0, n)], -1)
+        g = np.stack([r.uniform(1.4, 1.8, n), r.uniform(1.2, 1.8, n)], -1)
+        return jnp.asarray(s, dtype), jnp.asarray(g, dtype)
+    starts, goals = draw_pr(rng, B)
+    Bt = tb("SUITE_B_POINT", 16384)
+    ts, tg = draw_pr(rng_t, Bt)
+    run_config("PointRobot2D", robot, sdf2, starts, goals, setting,
+               thru_B=Bt, thru_starts=ts, thru_goals=tg,
+               oracle=oracles.get("PointRobot2D"))
 
     # ---- 2. MobileBase SE(2) + vehicle dynamics -------------------------
     dsm = generate_2d_dataset("MobileMap1")
@@ -145,15 +199,18 @@ def main():
         obs_check_inter=3, opt_type="lm", max_iter=50, rel_thresh=1e-2,
         Qc=np.eye(3),
     )
-    starts_m = jnp.asarray(
-        np.stack([rng.uniform(-3.5, -2.5, B), rng.uniform(-3.5, -2.5, B),
-                  rng.uniform(-0.5, 0.5, B)], -1), dtype
-    )
-    goals_m = jnp.asarray(
-        np.stack([rng.uniform(2.5, 3.5, B), rng.uniform(2.5, 3.5, B),
-                  rng.uniform(1.0, 2.0, B)], -1), dtype
-    )
-    run_config("MobileBaseSE2", base, sdfm, starts_m, goals_m, setting_m, B,
+    def draw_mb(r, n):
+        s = np.stack([r.uniform(-3.5, -2.5, n), r.uniform(-3.5, -2.5, n),
+                      r.uniform(-0.5, 0.5, n)], -1)
+        g = np.stack([r.uniform(2.5, 3.5, n), r.uniform(2.5, 3.5, n),
+                      r.uniform(1.0, 2.0, n)], -1)
+        return jnp.asarray(s, dtype), jnp.asarray(g, dtype)
+    starts_m, goals_m = draw_mb(rng, B)
+    Bt = tb("SUITE_B_MOBILE", 4096)
+    ts, tg = draw_mb(rng_t, Bt)
+    run_config("MobileBaseSE2", base, sdfm, starts_m, goals_m, setting_m,
+               thru_B=Bt, thru_starts=ts, thru_goals=tg,
+               oracle=oracles.get("MobileBaseSE2"),
                flag_vehicle_dynamics=True, dyn_sigma=0.001)
 
     # ---- 3. Arm3 planar with limits ------------------------------------
@@ -167,13 +224,18 @@ def main():
         joint_pos_limits_up=np.pi * np.ones(3),
         vel_limits=1.5 * np.ones(3),
     )
-    starts_a = jnp.asarray(0.2 * rng.normal(size=(B, 3)), dtype)
-    goals_a = jnp.asarray(
-        np.array([np.pi / 2, 0, 0]) + 0.2 * rng.normal(size=(B, 3)), dtype
-    )
-    run_config("Arm3Limits2D", arm3, sdf2, starts_a, goals_a, setting_a, B)
+    def draw_a3(r, n):
+        s = 0.2 * r.normal(size=(n, 3))
+        g = np.array([np.pi / 2, 0, 0]) + 0.2 * r.normal(size=(n, 3))
+        return jnp.asarray(s, dtype), jnp.asarray(g, dtype)
+    starts_a, goals_a = draw_a3(rng, B)
+    Bt = tb("SUITE_B_ARM3", 8192)
+    ts, tg = draw_a3(rng_t, Bt)
+    run_config("Arm3Limits2D", arm3, sdf2, starts_a, goals_a, setting_a,
+               thru_B=Bt, thru_starts=ts, thru_goals=tg,
+               oracle=oracles.get("Arm3Limits2D"))
 
-    # ---- 4. WAM 7-DOF (small batch; bench.py is the headline) ----------
+    # ---- 4. WAM 7-DOF (unfiltered endpoints; bench.py is the headline) --
     wam = generate_arm("WAMArm")
     dsw = generate_3d_dataset("WAMDeskDataset")
     sdfw = sdf_from_occupancy(dsw.origin, dsw.cell_size, dsw.map)
@@ -184,35 +246,44 @@ def main():
     )
     bs = np.array([-0.8, -1.70, 1.64, 1.29, 1.1, -0.106, 2.2])
     bg = np.array([-0.0, 0.94, 0.0, 1.6, 0.0, -0.919, 1.55])
-    starts_w = jnp.asarray(bs + 0.03 * rng.normal(size=(B, 7)), dtype)
-    goals_w = jnp.asarray(bg + 0.03 * rng.normal(size=(B, 7)), dtype)
-    run_config("WAM7_3D", wam, sdfw, starts_w, goals_w, setting_w, B)
+    def draw_w(r, n):
+        return (jnp.asarray(bs + 0.03 * r.normal(size=(n, 7)), dtype),
+                jnp.asarray(bg + 0.03 * r.normal(size=(n, 7)), dtype))
+    starts_w, goals_w = draw_w(rng, B)
+    Bt = tb("SUITE_B_WAM", 2048)
+    ts, tg = draw_w(rng_t, Bt)
+    run_config("WAM7_3D", wam, sdfw, starts_w, goals_w, setting_w,
+               thru_B=Bt, thru_starts=ts, thru_goals=tg,
+               oracle=oracles.get("WAM7_3D"))
 
     # ---- 5. Multi-world (per-problem SDFs) ------------------------------
     n = 64
     ys = -1.5 + 3.0 / (n - 1) * np.arange(n)
     X, Y = np.meshgrid(ys, ys)
-    cys = rng.uniform(-0.3, 0.3, B)
-    data = np.stack([np.sqrt(X**2 + (Y - c) ** 2) - 0.3 for c in cys])
-    sdf_mw = PlanarSDF(
-        origin=jnp.asarray([-1.5, -1.5], dtype),
-        cell_size=jnp.asarray(3.0 / (n - 1), dtype),
-        data=jnp.asarray(data, dtype),
-    )
     pr = make_robot_model(PointRobotFK(), [(0, 0.05, (0.0, 0.0, 0.0))])
     setting_mw = TrajOptimizerSetting(
         dof=2, total_step=8, total_time=4.0, cost_sigma=0.1,
         obs_check_inter=3, opt_type="lm", max_iter=50, rel_thresh=1e-2,
         Qc=np.eye(2),
     )
-    starts_mw = jnp.asarray(
-        np.stack([np.full(B, -0.9), rng.uniform(-0.3, 0.3, B)], -1), dtype
-    )
-    goals_mw = jnp.asarray(
-        np.stack([np.full(B, 0.9), rng.uniform(-0.3, 0.3, B)], -1), dtype
-    )
+    def draw_mw(r, nn):
+        cys = r.uniform(-0.3, 0.3, nn)
+        data = np.stack([np.sqrt(X**2 + (Y - c) ** 2) - 0.3 for c in cys])
+        sdf = PlanarSDF(
+            origin=jnp.asarray([-1.5, -1.5], dtype),
+            cell_size=jnp.asarray(3.0 / (n - 1), dtype),
+            data=jnp.asarray(data, dtype),
+        )
+        s = np.stack([np.full(nn, -0.9), r.uniform(-0.3, 0.3, nn)], -1)
+        g = np.stack([np.full(nn, 0.9), r.uniform(-0.3, 0.3, nn)], -1)
+        return sdf, jnp.asarray(s, dtype), jnp.asarray(g, dtype)
+    sdf_mw, starts_mw, goals_mw = draw_mw(rng, B)
+    Bt = tb("SUITE_B_MULTI", 8192)
+    sdf_t, ts, tg = draw_mw(rng_t, Bt)
     sdf_mw_single = PlanarSDF(sdf_mw.origin, sdf_mw.cell_size, sdf_mw.data[0])
-    run_config("MultiWorld2D", pr, sdf_mw, starts_mw, goals_mw, setting_mw, B,
+    run_config("MultiWorld2D", pr, sdf_mw, starts_mw, goals_mw, setting_mw,
+               thru_B=Bt, thru_starts=ts, thru_goals=tg, thru_sdf=sdf_t,
+               oracle=oracles.get("MultiWorld2D"),
                template_sdf=sdf_mw_single)
 
 

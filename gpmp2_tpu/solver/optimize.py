@@ -384,12 +384,24 @@ def _fn_code(f):
     return type(f)
 
 
-def _warn_unstable_identity(linearize_fn, retract_fn, params):
+def _data_fingerprint(data):
+    """Hashable shape/dtype signature of a data pytree (None-safe)."""
+    if data is None:
+        return None
+    return tuple(
+        (getattr(leaf, "shape", ()), str(getattr(leaf, "dtype", type(leaf))))
+        for leaf in jax.tree_util.tree_leaves(data)
+    )
+
+
+def _warn_unstable_identity(linearize_fn, retract_fn, params, data):
     """One-line notice when a cache miss is caused by a NEW function object
-    with the SAME code as a previously cached one — the caller is
-    constructing fresh linearize/retract closures per call and every solve
-    re-traces (plan_batch avoids this via its own lru caches)."""
-    skey = (_fn_code(linearize_fn), _fn_code(retract_fn), params)
+    with the SAME code AND the same problem shapes as a previously cached
+    one — the caller is constructing fresh linearize/retract closures per
+    call and every solve re-traces (plan_batch avoids this via its own lru
+    caches). Distinct configs (different shapes) never trigger it."""
+    skey = (_fn_code(linearize_fn), _fn_code(retract_fn), params,
+            _data_fingerprint(data))
     prev = _CHUNK_IDENTITY_SEEN.get(skey)
     _CHUNK_IDENTITY_SEEN[skey] = (linearize_fn, retract_fn)
     if prev is not None and prev != (linearize_fn, retract_fn):
@@ -397,19 +409,20 @@ def _warn_unstable_identity(linearize_fn, retract_fn, params):
 
         print(
             "gpmp2_tpu.optimize_batch: chunk-cache miss — linearize_fn/"
-            "retract_fn are new function objects with identical code; each "
-            "call re-jits the solve. Pass stable function objects (or use "
-            "planner.batch.plan_batch) to reuse the compiled chunks.",
+            "retract_fn are new function objects with identical code on an "
+            "identically-shaped problem; each call re-jits the solve. Pass "
+            "stable function objects (or use planner.batch.plan_batch) to "
+            "reuse the compiled chunks.",
             file=sys.stderr,
         )
 
 
-def _chunked_callables(linearize_fn, retract_fn, params):
+def _chunked_callables(linearize_fn, retract_fn, params, data=None):
     key = (linearize_fn, retract_fn, params)
     hit = _CHUNK_CACHE.get(key)
     if hit is not None:
         return hit
-    _warn_unstable_identity(linearize_fn, retract_fn, params)
+    _warn_unstable_identity(linearize_fn, retract_fn, params, data)
     make_init, step = _build_fns(linearize_fn, retract_fn, params)
     fns = (
         jax.jit(make_init),
@@ -513,7 +526,8 @@ def optimize_batch(
 
     if loop == "chunked":
         if cacheable:
-            init_jit, run_chunk = _chunked_callables(lin2, retract_fn, params)
+            init_jit, run_chunk = _chunked_callables(lin2, retract_fn, params,
+                                                     data=data)
         else:
             make_init, step = _build_fns(lin2, retract_fn, params)
             init_jit = jax.jit(make_init)

@@ -1,12 +1,10 @@
 """Round-4 profiling: decompose one LM attempt at the WAM bench shape.
 
-Times (host-materialization barrier; dependent chains inside one jit to
-split device time from the ~25-45 ms dispatch RTT):
-  1. FK centers+axes only (the triple-product path's FK cost)
-  2. full obstacle linearize (new fused path)
-  3. pallas damped solve (with and without the layout transposes)
-  4. one full LM step (solve + retract + linearize + accept masking)
-  5. a 12-step chunk (amortized per-step cost incl. fori_loop carry)
+The tunnel makes naive timing lie twice: block_until_ready doesn't block,
+and fetching large outputs pays tunnel transfer (~100 MB/s). So every
+stage is measured as K dependent repetitions inside ONE jit returning a
+scalar; device time per call = (T_K - T_1) / (K - 1), with the dispatch
+RTT cancelled by the subtraction.
 
 Usage: python profile_r4.py  (B env var, default 1024)
 """
@@ -21,18 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def timed(fn, *args, repeats=3):
-    out = fn(*args)
-    _ = [np.asarray(x) for x in (out if isinstance(out, (tuple, list)) else (out,))]
-    best = 1e9
-    for _i in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _ = [np.asarray(x) for x in (out if isinstance(out, (tuple, list)) else (out,))]
-        best = min(best, time.perf_counter() - t0)
-    return best, out
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -42,18 +28,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from gpmp2_tpu.datasets import generate_3d_dataset, sdf_from_occupancy
-    from gpmp2_tpu.kinematics.robot import sphere_centers_axes
-    from gpmp2_tpu.ops.btsolve import block_tridiag_solve_pallas
     from gpmp2_tpu.planner import TrajOptimizerSetting, make_problem
     from gpmp2_tpu.planner.batch import (
         infer_batch_axes,
         optimizer_params_from_setting,
+        _retract_for,
+        _vmapped_lin_err,
     )
-    from gpmp2_tpu.planner.problem import traj_linearize
     from gpmp2_tpu.planner.traj_utils import init_traj_straight_line
     from gpmp2_tpu.robots import generate_arm
 
     B = int(os.environ.get("B", "1024"))
+    K = int(os.environ.get("K", "4"))
     dtype = jnp.float32
     robot = generate_arm("WAMArm", dtype=dtype)
     ds = generate_3d_dataset("WAMDeskDataset")
@@ -81,58 +67,220 @@ def main():
                                              setting.total_time)
     )(starts, goals)
 
-    n_states = 101  # 11 support + 90 interpolated
-    confs = jnp.asarray(rng.uniform(-1.5, 1.5, (B * n_states, 7)), dtype)
+    n_states = 101
+    confs0 = jnp.asarray(rng.uniform(-1.5, 1.5, (B * n_states, 7)), dtype)
 
-    # 1. FK centers+axes
-    fk_fn = jax.jit(lambda c: jax.vmap(
-        lambda q: sphere_centers_axes(robot, q))(c))
-    t, (centers, z, o) = timed(fk_fn, confs)
-    print(f"FK centers+axes ({B*n_states} configs): {t*1e3:.1f} ms", flush=True)
+    def chain_time(label, make_fn, *args, reps=3):
+        """make_fn(k) -> jitted fn(*args) running k dependent iterations,
+        returning a scalar. Prints (T_K - T_1)/(K-1)."""
+        f1, fK = make_fn(1), make_fn(K)
+        t1 = tK = np.inf
+        for _ in range(reps + 1):  # first iteration warms the compile
+            t0 = time.perf_counter()
+            np.asarray(f1(*args))
+            t1 = min(t1, time.perf_counter() - t0)
+        for _ in range(reps + 1):
+            t0 = time.perf_counter()
+            np.asarray(fK(*args))
+            tK = min(tK, time.perf_counter() - t0)
+        per = (tK - t1) / (K - 1) * 1e3
+        print(f"{label}: {per:.2f} ms (T1 {t1*1e3:.1f} TK {tK*1e3:.1f})",
+              flush=True)
+        return per
 
-    # 2. full linearize
-    lin_fn = jax.jit(
-        lambda t_: jax.vmap(traj_linearize, in_axes=(axes, 0))(probs, t_))
-    t, lin = timed(lin_fn, init)
-    print(f"linearize (B={B}): {t*1e3:.1f} ms", flush=True)
-    H_diag, H_off, b, err = lin
+    # ---- 1. FK centers+axes (triple-product path's FK cost)
+    from gpmp2_tpu.kinematics.robot import sphere_centers_axes
 
-    # 3. solve with transposes (current entry)
+    def mk_fk(k):
+        @jax.jit
+        def f(c):
+            def body(i, carry):
+                c_, acc = carry
+                centers, z, o = jax.vmap(
+                    lambda q: sphere_centers_axes(robot, q))(c_)
+                s = jnp.sum(centers) + jnp.sum(z) + jnp.sum(o)
+                return c_ + 1e-20 * s, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (c, 0.0))
+            return acc
+        return f
+
+    chain_time(f"FK centers+axes ({B*n_states} cfg)", mk_fk, confs0)
+
+    # ---- 1b. old FK centers+full-Jacobian path for comparison
+    from gpmp2_tpu.kinematics.robot import sphere_centers_and_jac
+
+    def mk_fkj(k):
+        @jax.jit
+        def f(c):
+            def body(i, carry):
+                c_, acc = carry
+                centers, J = jax.vmap(
+                    lambda q: sphere_centers_and_jac(robot, q))(c_)
+                s = jnp.sum(centers) + jnp.sum(J)
+                return c_ + 1e-20 * s, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (c, 0.0))
+            return acc
+        return f
+
+    chain_time(f"FK centers+Jc (old path)", mk_fkj, confs0)
+
+    # ---- 1c. packed-row gather alone (1.65M random rows)
+    packed = template.sdf.packed.reshape(-1, 8)
+    nrows = packed.shape[0]
+    idx0 = jnp.asarray(
+        rng.integers(0, nrows, size=(B * n_states * 16,)), jnp.int32)
+
+    def mk_gather(k):
+        @jax.jit
+        def f(pk, idx):
+            def body(i, carry):
+                idx_, acc = carry
+                vals = jnp.take(pk, idx_, axis=0)
+                s = jnp.sum(vals)
+                idx2 = (idx_ + jnp.int32(1)
+                        + (s * 0).astype(jnp.int32)) % nrows
+                return idx2, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (idx, 0.0))
+            return acc
+        return f
+
+    chain_time(f"packed gather ({B*n_states*16} rows)", mk_gather,
+               packed, idx0)
+
+    # ---- 1d. trilerp + hinge + triple product on pre-gathered rows
+    from gpmp2_tpu.kinematics.robot import sphere_centers_axes as _sca
+
+    centers0, z0, o0 = jax.jit(
+        lambda c: jax.vmap(lambda q: _sca(robot, q))(c))(confs0)
+    vals0 = jnp.take(packed, idx0, axis=0).reshape(B * n_states, 16, 8)
+
+    def mk_post(k):
+        @jax.jit
+        def f(centers, z, o, vals):
+            eps_total = robot.sphere_radii + 0.2
+
+            def body(i, carry):
+                c_, acc = carry
+                fx = c_[..., 0] % 1.0
+                fy = c_[..., 1] % 1.0
+                fz = c_[..., 2] % 1.0
+                w000 = (1 - fy) * (1 - fx) * (1 - fz)
+                w010 = fy * (1 - fx) * (1 - fz)
+                w001 = (1 - fy) * fx * (1 - fz)
+                w011 = fy * fx * (1 - fz)
+                w100 = (1 - fy) * (1 - fx) * fz
+                w110 = fy * (1 - fx) * fz
+                w101 = (1 - fy) * fx * fz
+                w111 = fy * fx * fz
+                ws = jnp.stack([w000, w010, w001, w011,
+                                w100, w110, w101, w111], -1)
+                dist = jnp.sum(ws * vals, -1)
+                gx = jnp.sum(ws[..., :4] * (vals[..., 4:] - vals[..., :4]), -1)
+                g = jnp.stack([gx, gx * 0.5, gx * 0.25], -1)
+                active = dist <= eps_total
+                r = jnp.where(active, eps_total - dist, 0.0)
+                cg = jnp.concatenate([jnp.cross(c_, g), -g], -1)
+                zw = jnp.concatenate([z, jnp.cross(z, o)], -1)
+                J = jnp.where(active[..., None],
+                              -jnp.einsum("nsk,njk->nsj", cg, zw), 0.0)
+                s = jnp.sum(r) + jnp.sum(J)
+                return c_ + 1e-20 * s, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (centers, 0.0))
+            return acc
+        return f
+
+    chain_time("trilerp+hinge+tripleprod (post)", mk_post,
+               centers0, z0, o0, vals0)
+
+    # ---- 2. obstacle residual+jac (FK + gather + triple product)
+    from gpmp2_tpu.planner.problem import _obs_res_and_jac_batched
+
+    def mk_obs(k):
+        @jax.jit
+        def f(p, c):
+            def body(i, carry):
+                c_, acc = carry
+                r, J = _obs_res_and_jac_batched(p, c_)
+                s = jnp.sum(r) + jnp.sum(J)
+                return c_ + 1e-20 * s, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (c, 0.0))
+            return acc
+        return f
+
+    chain_time("obstacle res+jac (103k cfg)", mk_obs, template, confs0)
+
+    # ---- 3. full linearize
+    lin_v, _err_v = _vmapped_lin_err(axes)
+
+    def mk_lin(k):
+        @jax.jit
+        def f(p, t):
+            def body(i, carry):
+                t_, acc = carry
+                Hd, Ho, b, e = lin_v(p, t_)
+                s = jnp.sum(e) + jnp.sum(b)
+                t2 = type(t_)(t_.pose + 1e-20 * s, t_.vel)
+                return t2, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (t, 0.0))
+            return acc
+        return f
+
+    chain_time(f"linearize (B={B})", mk_lin, probs, init)
+
+    # ---- 4. damped solve incl. transposes (pallas)
+    from gpmp2_tpu.ops.btsolve import batched_block_tridiag_solve
+
+    Hd0, Ho0, b0, _e0 = jax.jit(lin_v)(probs, init)
     lam = jnp.full((B,), 100.0, dtype)
-    t, _ = timed(
-        jax.jit(lambda D, U, bb, l: block_tridiag_solve_pallas(D, U, bb, lam=l)),
-        H_diag, H_off, b, lam)
-    print(f"pallas solve (incl. transposes): {t*1e3:.1f} ms", flush=True)
 
-    # 3b. transposes alone
-    tr_fn = jax.jit(lambda D, U, bb: (
-        jnp.transpose(D, (1, 2, 3, 0)),
-        jnp.transpose(U, (1, 2, 3, 0)),
-        jnp.transpose(bb, (1, 2, 0)),
-    ))
-    t, _ = timed(tr_fn, H_diag, H_off, b)
-    print(f"layout transposes alone: {t*1e3:.1f} ms", flush=True)
+    def mk_solve(k):
+        @jax.jit
+        def f(Hd, Ho, b, l):
+            def body(i, carry):
+                b_, acc = carry
+                x = batched_block_tridiag_solve(Hd, Ho, b_, lam=l)
+                s = jnp.sum(x)
+                return b_ + 1e-20 * s, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (b, 0.0))
+            return acc
+        return f
 
-    # 4. one LM step + 5. a chunk, via the real optimizer internals
-    from gpmp2_tpu.planner.batch import _retract_for, _vmapped_lin_err
+    chain_time("pallas damped solve (+layout)", mk_solve, Hd0, Ho0, b0, lam)
+
+    # ---- 4b. layout transposes alone
+    def mk_tr(k):
+        @jax.jit
+        def f(Hd, Ho, b):
+            def body(i, carry):
+                b_, acc = carry
+                Dt = jnp.transpose(Hd, (1, 2, 3, 0))
+                Ut = jnp.transpose(Ho, (1, 2, 3, 0))
+                bt = jnp.transpose(b_, (1, 2, 0))
+                s = Dt[0, 0, 0, 0] + Ut[0, 0, 0, 0] + jnp.sum(bt)
+                return b_ + 1e-20 * s, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (b, 0.0))
+            return acc
+        return f
+
+    chain_time("H transposes alone", mk_tr, Hd0, Ho0, b0)
+
+    # ---- 5. one LM step and a 12-step chunk through the real optimizer
     from gpmp2_tpu.solver import optimize as opt_mod
 
     params = dataclasses.replace(
         optimizer_params_from_setting(setting), loop="chunked", chunk_size=12)
-    lin2, _err2 = _vmapped_lin_err(axes)
-    ret2 = _retract_for(robot.space)
-    make_init, step = opt_mod._build_fns(lin2, ret2, params)
-    init_jit = jax.jit(make_init)
+    ret_v = _retract_for(robot.space)
+    make_init, step = opt_mod._build_fns(lin_v, ret_v, params)
+    st0 = jax.jit(make_init)(probs, init)
 
-    st = init_jit(probs, init)
-    one_step = jax.jit(lambda d, s: step(d, s))
-    t, st1 = timed(one_step, probs, st)
-    print(f"one LM step: {t*1e3:.1f} ms", flush=True)
+    def mk_step(k):
+        @jax.jit
+        def f(p, st):
+            st2 = jax.lax.fori_loop(0, k, lambda i, s: step(p, s), st)
+            return jnp.sum(st2.err) + jnp.sum(st2.tr)
+        return f
 
-    chunk = jax.jit(opt_mod._make_chunk(step, params))
-    t, _ = timed(chunk, probs, st)
-    print(f"chunk of {params.chunk_size}: {t*1e3:.1f} ms "
-          f"({t*1e3/params.chunk_size:.2f} ms/step)", flush=True)
+    chain_time("one LM step (all-in)", mk_step, probs, st0)
 
 
 if __name__ == "__main__":

@@ -690,8 +690,11 @@ struct RNG {
 int main(int argc, char** argv) {
   int n_plans = argc > 1 ? std::atoi(argv[1]) : 64;
   const char* dump = nullptr;
-  for (int i = 2; i + 1 < argc; i++)
+  const char* probs_file = nullptr;  // raw float64 starts[B*7] goals[B*7]
+  for (int i = 2; i + 1 < argc; i++) {
     if (!std::strcmp(argv[i], "--dump")) dump = argv[i + 1];
+    if (!std::strcmp(argv[i], "--probs")) probs_file = argv[i + 1];
+  }
 
   auto t0 = std::chrono::steady_clock::now();
   SDF sdf = build_wamdesk_sdf();
@@ -727,13 +730,44 @@ int main(int argc, char** argv) {
     }
   };
 
+  // --probs: use an externally dumped problem set (raw float64
+  // starts[B*7] then goals[B*7], B inferred from file size) instead of
+  // the rejection-sampled protocol — lets bench_suite.py compare
+  // quality/timing on its EXACT unfiltered problem set.
+  std::vector<double> ext_starts, ext_goals;
+  if (probs_file) {
+    FILE* pf = std::fopen(probs_file, "rb");
+    if (!pf) { std::fprintf(stderr, "cannot open %s\n", probs_file); return 1; }
+    std::fseek(pf, 0, SEEK_END);
+    long bytes = std::ftell(pf);
+    std::fseek(pf, 0, SEEK_SET);
+    int B = int(bytes / (2 * DOF * sizeof(double)));
+    ext_starts.resize(size_t(B) * DOF);
+    ext_goals.resize(size_t(B) * DOF);
+    if (std::fread(ext_starts.data(), sizeof(double), ext_starts.size(), pf)
+            != ext_starts.size()
+        || std::fread(ext_goals.data(), sizeof(double), ext_goals.size(), pf)
+            != ext_goals.size()) {
+      std::fprintf(stderr, "short read in %s\n", probs_file); return 1;
+    }
+    std::fclose(pf);
+    n_plans = std::min(n_plans, B);
+  }
+
   static double x[N][M];
-  int converged = 0, gave_up = 0;
+  int converged = 0, gave_up = 0, collision_free = 0, good = 0;
   double total_err = 0;
   t0 = std::chrono::steady_clock::now();
   for (int plan = 0; plan < n_plans; plan++) {
-    sample(base_start, prob.start);
-    sample(base_goal, prob.goal);
+    if (probs_file) {
+      for (int k = 0; k < DOF; k++) {
+        prob.start[k] = ext_starts[size_t(plan) * DOF + k];
+        prob.goal[k] = ext_goals[size_t(plan) * DOF + k];
+      }
+    } else {
+      sample(base_start, prob.start);
+      sample(base_goal, prob.goal);
+    }
     // straight-line init (TrajUtils.cpp:25-50)
     for (int i = 0; i < N; i++)
       for (int k = 0; k < DOF; k++) {
@@ -745,6 +779,21 @@ int main(int argc, char** argv) {
     if (out.converged) converged++;
     if (out.gave_up) gave_up++;
     total_err += out.err;
+    // raw eps=0 collision metric over support states (CollisionCost)
+    double cc = 0;
+    for (int i = 0; i < N; i++) {
+      double centers[NSPH][3];
+      static thread_local double Jc[NSPH][3][DOF];
+      sphere_centers_jac(x[i], centers, Jc);
+      for (int s = 0; s < NSPH; s++) {
+        double dist, grad[3];
+        bool ok = sdf.query(centers[s], &dist, grad);
+        if (ok && dist <= WAM_SPH[s].radius) cc += WAM_SPH[s].radius - dist;
+      }
+    }
+    bool cfree = cc < 1e-4;
+    if (cfree) collision_free++;
+    if (cfree && out.converged) good++;
   }
   double plan_secs = std::chrono::duration<double>(
       std::chrono::steady_clock::now() - t0).count();
@@ -775,9 +824,10 @@ int main(int argc, char** argv) {
       "{\"oracle\": \"gpmp2_cpp\", \"n_plans\": %d, "
       "\"plan_wall_s\": %.4f, \"ms_per_plan\": %.3f, "
       "\"plans_per_sec\": %.2f, \"converged\": %d, \"gave_up\": %d, "
+      "\"collision_free\": %d, \"good\": %d, "
       "\"mean_final_err\": %.4f, \"sdf_build_s\": %.2f}\n",
       n_plans, plan_secs, 1e3 * plan_secs / n_plans,
-      n_plans / plan_secs, converged, gave_up, total_err / n_plans,
-      sdf_secs);
+      n_plans / plan_secs, converged, gave_up, collision_free, good,
+      total_err / n_plans, sdf_secs);
   return 0;
 }

@@ -147,10 +147,17 @@ def main():
                 np.full(3, 1.5), np.full(3, 1e-3)),
     )
 
-    # ---- 4. WAM7_3D: covered by gpmp2_oracle.cpp (BASELINE_MEASURED) ----
-    # keep the rng stream aligned with bench_suite.py's draw order
-    _ = rng.normal(size=(B, 7))
-    _ = rng.normal(size=(B, 7))
+    # ---- 4. WAM7_3D: raw starts/goals for gpmp2_oracle.cpp --probs ------
+    # (same rng stream position and scale as bench_suite.py's draws)
+    bs = np.array([-0.8, -1.70, 1.64, 1.29, 1.1, -0.106, 2.2])
+    bg = np.array([-0.0, 0.94, 0.0, 1.6, 0.0, -0.919, 1.55])
+    starts_w = bs + 0.03 * rng.normal(size=(B, 7))
+    goals_w = bg + 0.03 * rng.normal(size=(B, 7))
+    wam_path = os.path.join(outdir, "wam7_probs.bin")
+    with open(wam_path, "wb") as f:
+        starts_w.astype(np.float64).tofile(f)
+        goals_w.astype(np.float64).tofile(f)
+    print(f"wrote {wam_path} ({os.path.getsize(wam_path)/1e6:.1f} MB)")
 
     # ---- 5. MultiWorld2D ------------------------------------------------
     n = 64
