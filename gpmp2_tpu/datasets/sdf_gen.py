@@ -65,15 +65,34 @@ def planar_sdf_from_occupancy(origin, cell_size, occupancy,
 
 
 def sdf_from_occupancy(origin, cell_size, occupancy_xyz,
-                       dtype=jnp.float32) -> SignedDistanceField:
+                       dtype=jnp.float32,
+                       screen_boxes=None) -> SignedDistanceField:
     """3D occupancy in the reference dataset layout (X, Y, Z)
     (generate3Ddataset.m:10-12) -> SignedDistanceField with (Z, Y, X) data
     (the C++ SDF's z-slices of (Y, X) matrices; WAMPlannerExample.m:23-26
-    performs the same per-slice transpose)."""
+    performs the same per-slice transpose).
+
+    `screen_boxes`: optional (K, 2, 3) world-frame [lo; hi] corners of the
+    obstacle boxes' occupied-voxel-center hulls (see
+    `dataset_screen_boxes`) — enables the compute-only gather screen in
+    `sdf_lookup`."""
     field = signed_distance_field_3d(occupancy_xyz, cell_size)
     data_zyx = np.transpose(field, (2, 1, 0))
     return SignedDistanceField(
         origin=jnp.asarray(origin, dtype),
         cell_size=jnp.asarray(cell_size, dtype),
         data=jnp.asarray(data_zyx, dtype),
+        screen_boxes=(None if screen_boxes is None
+                      else jnp.asarray(screen_boxes, dtype)),
     )
+
+
+def dataset_screen_boxes(ds, dtype=np.float64):
+    """(K, 2, 3) world [lo; hi] voxel-center hulls from a Dataset3D's
+    `corner_idx` rows ([x_lo, x_hi, y_lo, y_hi, z_lo, z_hi] cell indices,
+    generate3d.py:add_obstacle_3d): world = origin + idx * cell_size."""
+    ci = np.asarray(ds.corner_idx, dtype)
+    origin = np.asarray(ds.origin, dtype)
+    lo = origin[None, :] + ci[:, [0, 2, 4]] * ds.cell_size
+    hi = origin[None, :] + ci[:, [1, 3, 5]] * ds.cell_size
+    return np.stack([lo, hi], axis=1)

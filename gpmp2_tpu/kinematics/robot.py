@@ -188,6 +188,74 @@ def sphere_centers_axes(model: RobotModel, q):
     return centers, z_axes, frame_trans
 
 
+def sphere_centers_axes_batched(model: RobotModel, qs):
+    """Batched `sphere_centers_axes` in batch-major unrolled form:
+    qs (N, d) -> centers (N, S, 3), z (N, d, 3), o (N, d, 3).
+
+    The per-config Pose3 chain under vmap lowers to 7 sequential batched
+    3x3 matmuls (tiny contraction dims the TPU cannot tile) — measured
+    ~12.7 ms per 103k WAM configs. Here the rotation is NINE (N,) lane
+    arrays and the chain is unrolled at trace time into pure elementwise
+    FMAs over the config axis (the `solver/smallmat.py` formulation), so
+    XLA fuses the whole chain into a handful of VPU kernels. The sphere
+    link-frame gather is a one-hot matmul (TPU index gathers serialize).
+    Identical math to `sphere_centers_axes` (DH Spong eq. 3.10 chain,
+    Arm.cpp:23-27); bit-level differences are reassociation only.
+    """
+    fk = model.fk
+    d = fk.dof
+    N = qs.shape[0]
+    dtype = qs.dtype
+    a = jnp.asarray(fk.a, dtype)
+    dz = jnp.asarray(fk.d, dtype)
+    bias = jnp.asarray(fk.theta_bias, dtype)
+    ca = jnp.cos(jnp.asarray(fk.alpha, dtype))
+    sa = jnp.sin(jnp.asarray(fk.alpha, dtype))
+    bp = fk.base_pose
+
+    R = [[jnp.broadcast_to(bp.rot[r, c], (N,)) for c in range(3)]
+         for r in range(3)]
+    t = [jnp.broadcast_to(bp.trans[r], (N,)) for r in range(3)]
+    z_rows, o_rows, frames = [], [], []
+    for j in range(d):
+        # joint j rotates about the z axis of the frame BEFORE it
+        z_rows.append(jnp.stack([R[0][2], R[1][2], R[2][2]], axis=-1))
+        o_rows.append(jnp.stack(t, axis=-1))
+        ct = jnp.cos(qs[:, j] + bias[j])
+        st = jnp.sin(qs[:, j] + bias[j])
+        # DH transform A = RotZ(theta) * [Rx(alpha) | (a, 0, dz)]:
+        # A[:,0] = (ct, st, 0); A[:,1] = (-st*ca, ct*ca, sa);
+        # A[:,2] = (st*sa, -ct*sa, ca); A[:,3] = (a*ct, a*st, dz)
+        A10, A11, A12 = -st * ca[j], ct * ca[j], sa[j]
+        A20, A21, A22 = st * sa[j], -ct * sa[j], ca[j]
+        T0, T1 = a[j] * ct, a[j] * st
+        Rn = [[None] * 3 for _ in range(3)]
+        tn = [None] * 3
+        for r in range(3):
+            Rn[r][0] = R[r][0] * ct + R[r][1] * st
+            Rn[r][1] = R[r][0] * A10 + R[r][1] * A11 + R[r][2] * A12
+            Rn[r][2] = R[r][0] * A20 + R[r][1] * A21 + R[r][2] * A22
+            tn[r] = t[r] + R[r][0] * T0 + R[r][1] * T1 + R[r][2] * dz[j]
+        R, t = Rn, tn
+        frames.append(jnp.stack(
+            [R[0][0], R[0][1], R[0][2], R[1][0], R[1][1], R[1][2],
+             R[2][0], R[2][1], R[2][2], t[0], t[1], t[2]], axis=-1))
+
+    z = jnp.stack(z_rows, axis=1)  # (N, d, 3)
+    o = jnp.stack(o_rows, axis=1)
+    M = jnp.stack(frames, axis=1)  # (N, d, 12) = [R row-major | t]
+    onehot = (
+        model.sphere_link_ids[:, None] == jnp.arange(d)[None, :]
+    ).astype(dtype)  # (S, d)
+    A_s = jnp.einsum("sl,nlk->nsk", onehot, M)  # (N, S, 12)
+    Rs = A_s[..., :9].reshape(N, -1, 3, 3)
+    centers = (
+        jnp.einsum("nsij,sj->nsi", Rs, model.sphere_centers)
+        + A_s[..., 9:]
+    )
+    return centers, z, o
+
+
 def _mobile_sphere_jac(model: RobotModel, q):
     """Analytic sphere Jacobians for SE(2)-based mobile families.
 

@@ -241,15 +241,15 @@ def _obs_res_jac_arm_fused(prob: TrajProblem, confs):
     row-wise chain rule (ObstacleSDFFactor-inl.h:40-57 with Arm.cpp's
     geometric Jacobian) with the (S, d, 3) cross intermediates folded
     away. Planar variants fall out with grad_z = 0."""
-    from ..kinematics.robot import sphere_centers_axes
+    from ..kinematics.robot import sphere_centers_axes_batched
     from ..obstacle.sdf import planar_sdf_lookup, sdf_lookup
 
     d = confs.shape[-1]
     lead = confs.shape[:-1]
     flat = confs.reshape(-1, d)
-    centers, z, o = jax.vmap(
-        lambda q: sphere_centers_axes(prob.robot, q)
-    )(flat)  # (N, S, 3), (N, d, 3), (N, d, 3)
+    centers, z, o = sphere_centers_axes_batched(
+        prob.robot, flat
+    )  # (N, S, 3), (N, d, 3), (N, d, 3)
     eps_total = prob.robot.sphere_radii + prob.eps
     if prob.planar:
         dist, g2, ok = planar_sdf_lookup(prob.sdf, centers[..., :2])

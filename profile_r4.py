@@ -27,7 +27,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from gpmp2_tpu.datasets import generate_3d_dataset, sdf_from_occupancy
+    from gpmp2_tpu.datasets import (
+        dataset_screen_boxes,
+        generate_3d_dataset,
+        sdf_from_occupancy,
+    )
     from gpmp2_tpu.planner import TrajOptimizerSetting, make_problem
     from gpmp2_tpu.planner.batch import (
         infer_batch_axes,
@@ -43,8 +47,12 @@ def main():
     dtype = jnp.float32
     robot = generate_arm("WAMArm", dtype=dtype)
     ds = generate_3d_dataset("WAMDeskDataset")
-    sdf = sdf_from_occupancy(ds.origin, ds.cell_size, ds.map, dtype=dtype)
-    print(f"device {jax.devices()[0]}", flush=True)
+    sdf = sdf_from_occupancy(ds.origin, ds.cell_size, ds.map, dtype=dtype,
+                             screen_boxes=dataset_screen_boxes(ds))
+    if os.environ.get("NOSCREEN") == "1":
+        sdf = sdf._replace(screen_boxes=None)
+    print(f"device {jax.devices()[0]} screen={sdf.screen_boxes is not None}",
+          flush=True)
 
     setting = TrajOptimizerSetting(
         dof=7, total_step=10, total_time=2.0, epsilon=0.2, cost_sigma=0.02,
@@ -124,6 +132,23 @@ def main():
 
     chain_time(f"FK centers+Jc (old path)", mk_fkj, confs0)
 
+    # ---- 1b2. batch-major unrolled FK axes (the new production path)
+    from gpmp2_tpu.kinematics.robot import sphere_centers_axes_batched
+
+    def mk_fkflat(k):
+        @jax.jit
+        def f(c):
+            def body(i, carry):
+                c_, acc = carry
+                centers, z, o = sphere_centers_axes_batched(robot, c_)
+                s = jnp.sum(centers) + jnp.sum(z) + jnp.sum(o)
+                return c_ + 1e-20 * s, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (c, 0.0))
+            return acc
+        return f
+
+    chain_time("FK axes flat-unrolled", mk_fkflat, confs0)
+
     # ---- 1c. packed-row gather alone (1.65M random rows)
     packed = template.sdf.packed.reshape(-1, 8)
     nrows = packed.shape[0]
@@ -146,6 +171,13 @@ def main():
 
     chain_time(f"packed gather ({B*n_states*16} rows)", mk_gather,
                packed, idx0)
+
+    # ---- 1c2. same gather with ~75% of indices collapsed to row 0 (the
+    # box-screen shape): measures the repeated-row floor
+    idx_scr = jnp.where(
+        jnp.asarray(rng.uniform(size=idx0.shape) < 0.75), 0, idx0
+    ).astype(jnp.int32)
+    chain_time("packed gather 75% collapsed", mk_gather, packed, idx_scr)
 
     # ---- 1d. trilerp + hinge + triple product on pre-gathered rows
     from gpmp2_tpu.kinematics.robot import sphere_centers_axes as _sca
@@ -281,6 +313,75 @@ def main():
         return f
 
     chain_time("one LM step (all-in)", mk_step, probs, st0)
+
+    # ---- 6. step overhead probe: per-lane select over the carried lin
+    Hd0b, Ho0b, b0b = st0.lin[0], st0.lin[1], st0.lin[2]
+    mask0 = st0.err > jnp.median(st0.err)
+
+    def mk_select(k):
+        @jax.jit
+        def f(Hd, Ho, b, mk):
+            def body(i, carry):
+                b_, acc = carry
+                m3 = mk[:, None, None, None]
+                Hd2 = jnp.where(m3, Hd, Hd * 0.5)
+                Ho2 = jnp.where(m3, Ho, Ho * 0.5)
+                b2 = jnp.where(mk[:, None, None], b_, b_ * 0.5)
+                s = jnp.sum(b2) + Hd2[0, 0, 0, 0] + Ho2[0, 0, 0, 0]
+                return b_ + 1e-20 * s, acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (b, 0.0))
+            return acc
+        return f
+
+    chain_time("lin accept-select alone", mk_select, Hd0b, Ho0b, b0b, mask0)
+
+    # ---- 6b. step with the candidate linearize REPLACED by the carried
+    # one: isolates solve + retract + accept/bookkeeping cost
+    def mk_step_nolin(k):
+        def step_nolin(data, st):
+            B_ = st.err.shape[0]
+            Hd, Ho, b, _ = st.lin
+            delta = batched_block_tridiag_solve(Hd, Ho, b, lam=st.tr)
+            ok = jnp.all(jnp.isfinite(delta.reshape(B_, -1)), axis=-1)
+            delta = jnp.where(ok[:, None, None], delta, 0.0)
+            cand = ret_v(st.traj, delta)
+            new_err = st.err * 0.99  # stand-in for cand_lin's error
+            better = ok & (new_err < st.err)
+            accept = better
+            tr = jnp.where(accept, st.tr / 10.0, st.tr * 10.0)
+            prev_traj = opt_mod._mask_tree(accept, st.traj, st.prev_traj)
+            prev_err = jnp.where(accept, st.err, st.prev_err)
+            traj = opt_mod._mask_tree(accept, cand, st.traj)
+            lin = opt_mod._mask_tree(accept, st.lin, st.lin)
+            err = jnp.where(accept, new_err, st.err)
+            return st._replace(traj=traj, lin=lin, err=err, tr=tr,
+                               prev_traj=prev_traj, prev_err=prev_err)
+
+        @jax.jit
+        def f(p, st):
+            st2 = jax.lax.fori_loop(0, k, lambda i, s: step_nolin(p, s), st)
+            return jnp.sum(st2.err) + jnp.sum(st2.tr)
+        return f
+
+    chain_time("step minus linearize", mk_step_nolin, probs, st0)
+
+    # ---- 6c. linearize of a retracted candidate (retract + linearize)
+    def mk_retlin(k):
+        @jax.jit
+        def f(p, t):
+            def body(i, carry):
+                t_, acc = carry
+                delta = jnp.sin(acc) * 1e-6 + jnp.zeros(
+                    (B, setting.total_step + 1, 14), dtype)
+                cand = ret_v(t_, delta)
+                Hd, Ho, b, e = lin_v(p, cand)
+                s = jnp.sum(e) + jnp.sum(b)
+                return type(t_)(t_.pose + 1e-20 * s, t_.vel), acc + s
+            _, acc = jax.lax.fori_loop(0, k, body, (t, 0.0))
+            return acc
+        return f
+
+    chain_time("retract+linearize", mk_retlin, probs, init)
 
 
 if __name__ == "__main__":

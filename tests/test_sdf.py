@@ -293,3 +293,80 @@ class TestScreened:
                           traj_linearize(p_scr, traj)):
             np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
                                        atol=1e-6)
+
+
+class TestBoxScreen:
+    """Analytic box-hull screen (SignedDistanceField.screen_boxes): a
+    compute-only lower bound on the EDT field collapses provably-inactive
+    queries' gather indices — the screened hinge must be EXACTLY the
+    unscreened hinge."""
+
+    def _built(self):
+        from gpmp2_tpu.datasets.generate3d import Dataset3D, add_obstacle_3d
+        from gpmp2_tpu.datasets.sdf_gen import (
+            dataset_screen_boxes,
+            sdf_from_occupancy,
+        )
+
+        n = 64
+        occ = np.zeros((n, n, n))
+        occ, corner = add_obstacle_3d([20, 30, 25], [9, 13, 7], occ)
+        occ, corner = add_obstacle_3d([45, 18, 40], [11, 5, 15], occ, corner)
+        ds = Dataset3D(occ, n, n, n, -0.64, -0.64, -0.64, 0.02, corner)
+        boxes = dataset_screen_boxes(ds)
+        plain = sdf_from_occupancy(ds.origin, ds.cell_size, ds.map)
+        screened = sdf_from_occupancy(ds.origin, ds.cell_size, ds.map,
+                                      screen_boxes=boxes)
+        return plain, screened
+
+    def test_bound_is_conservative(self):
+        """Where the bound is positive (the only region the screen can
+        fire: thresh >= 0), it lower-bounds the trilinear field. Inside
+        obstacles the bound is not a lower bound — and is never used."""
+        plain, screened = self._built()
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(rng.uniform(-0.7, 0.7, (4096, 3)))
+        lo = screened.screen_boxes[:, 0, :]
+        hi = screened.screen_boxes[:, 1, :]
+        dxyz = jnp.maximum(
+            jnp.maximum(lo - pts[:, None, :], pts[:, None, :] - hi), 0.0)
+        bound = (jnp.min(jnp.sqrt(jnp.sum(dxyz**2, -1)), -1)
+                 - np.sqrt(3.0) * float(plain.cell_size))
+        dist, _, ok = sdf_lookup(plain, pts)
+        sel = np.asarray(ok) & (np.asarray(bound) > 0)
+        assert sel.sum() > 100
+        assert bool(jnp.all(bound[sel] <= dist[sel] + 1e-6))
+
+    def test_screened_hinge_exact(self):
+        from gpmp2_tpu.obstacle.factors import hinge_loss
+
+        plain, screened = self._built()
+        rng = np.random.default_rng(6)
+        pts = jnp.asarray(rng.uniform(-0.8, 0.8, (4096, 3)))  # incl. OOR
+        thresh = 0.25
+        d0, g0, ok0 = sdf_lookup(plain, pts)
+        d1, g1, ok1 = sdf_lookup(screened, pts, screen_thresh=thresh)
+        np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+        h0 = hinge_loss(d0, thresh, ok0)
+        h1 = hinge_loss(d1, thresh, ok1)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=1e-7)
+        active = np.asarray(h0) > 0
+        np.testing.assert_allclose(
+            np.asarray(g1)[active], np.asarray(g0)[active], atol=1e-7)
+        skipped = np.asarray(d1 != d0).mean()
+        assert skipped > 0.3, f"box screen skipped only {skipped:.0%}"
+
+    def test_per_sphere_thresholds(self):
+        """screen_thresh broadcast over a trailing sphere axis (the
+        planner's (..., S) eps_total shape)."""
+        from gpmp2_tpu.obstacle.factors import hinge_loss
+
+        plain, screened = self._built()
+        rng = np.random.default_rng(7)
+        pts = jnp.asarray(rng.uniform(-0.6, 0.6, (512, 4, 3)))
+        thresh = jnp.asarray([0.1, 0.2, 0.3, 0.05])
+        d0, _, ok0 = sdf_lookup(plain, pts)
+        d1, _, ok1 = sdf_lookup(screened, pts, screen_thresh=thresh)
+        np.testing.assert_allclose(
+            np.asarray(hinge_loss(d1, thresh, ok1)),
+            np.asarray(hinge_loss(d0, thresh, ok0)), atol=1e-7)
