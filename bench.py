@@ -134,6 +134,7 @@ def main():
     params = dataclasses.replace(
         optimizer_params_from_setting(setting), loop=LOOP,
         chunk_size=int(os.environ.get("BENCH_CHUNK", "12")),
+        lambda_init=float(os.environ.get("BENCH_LAMBDA0", "100.0")),
     )
 
     init = jax.vmap(
@@ -165,12 +166,11 @@ def main():
     def run_once():
         t0 = time.perf_counter()
         res, cc = solve(probs, init)
-        # host materialization = the only trustworthy completion barrier here
-        err = np.asarray(res.error)
-        iters = np.asarray(res.iterations)
-        conv = np.asarray(res.converged)
-        gave = np.asarray(res.gave_up)
-        ccn = np.asarray(cc)
+        # host materialization = the only trustworthy completion barrier
+        # here; ONE device_get fetches all five result arrays in a single
+        # round trip
+        err, iters, conv, gave, ccn = jax.device_get(
+            (res.error, res.iterations, res.converged, res.gave_up, cc))
         return time.perf_counter() - t0, err, iters, conv, gave, ccn
 
     t_compile, *_ = run_once()

@@ -37,7 +37,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["block_tridiag_solve_pallas", "batched_block_tridiag_solve"]
+__all__ = ["block_tridiag_solve_pallas", "block_tridiag_solve_pallas_lanemajor",
+           "batched_block_tridiag_solve",
+           "batched_block_tridiag_solve_lanemajor"]
 
 
 def _chol_lanes(C, m):
@@ -180,32 +182,55 @@ def block_tridiag_solve_pallas(
     (H[i, i+1] = U[i]); b: (B, n, m); lam: (B,) per-problem LM damping
     (None = 0). Returns x: (B, n, m).
 
+    NOTE: the batch-major -> lane-major relayout this entry performs costs
+    ~16 ms at the WAM bench shape when it cannot be hoisted (fresh H every
+    optimizer step). The optimizer's hot path produces H lane-major
+    directly and calls `block_tridiag_solve_pallas_lanemajor` instead.
+
     Damping and Jacobi scaling happen INSIDE the kernel per tile — no
     damped/scaled operand arrays in HBM.
+    """
+    # lane-major layout: batch last
+    Dt = jnp.transpose(D, (1, 2, 3, 0))  # (n, m, m, B)
+    Ut = jnp.transpose(U, (1, 2, 3, 0))  # (n-1, m, m, B)
+    bt = jnp.transpose(b, (1, 2, 0))  # (n, m, B)
+    return block_tridiag_solve_pallas_lanemajor(
+        Dt, Ut, bt, lam=lam, jacobi_scaling=jacobi_scaling, tile_b=tile_b,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("jacobi_scaling", "tile_b", "interpret")
+)
+def block_tridiag_solve_pallas_lanemajor(
+    Dt, Ut, bt, lam=None, jacobi_scaling: bool = True, tile_b: int = 128,
+    interpret: bool = False,
+):
+    """Lane-major entry: Dt (n, m, m, B), Ut (n-1, m, m, B), bt (n, m, B),
+    lam (B,). Returns x (B, n, m) (the output transpose is ~30x smaller
+    than the operand relayout the batch-major entry pays).
 
     The batch is padded to a multiple of `tile_b` lanes (padded lanes get
-    identity diagonal blocks so the factorization stays finite).
-    """
-    B, n, m = b.shape[0], b.shape[1], b.shape[2]
-    dtype = b.dtype
+    identity diagonal blocks so the factorization stays finite)."""
+    n, m, B = bt.shape
+    dtype = bt.dtype
     if lam is None:
         lam = jnp.zeros((B,), dtype)
 
     Bp = -(-B // tile_b) * tile_b
     padB = Bp - B
-    eyes = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (padB, n, m, m))
-    Dp = jnp.concatenate([D, eyes], axis=0) if padB else D
-    Up = jnp.concatenate([U, jnp.zeros((padB, n - 1, m, m), dtype)], axis=0) if padB else U
-    bp = jnp.concatenate([b, jnp.zeros((padB, n, m), dtype)], axis=0) if padB else b
-    lamp = jnp.concatenate([lam, jnp.zeros((padB,), dtype)]) if padB else lam
+    if padB:
+        eyes = jnp.broadcast_to(
+            jnp.eye(m, dtype=dtype)[..., None], (n, m, m, padB))
+        Dt = jnp.concatenate([Dt, eyes], axis=-1)
+        Ut = jnp.concatenate(
+            [Ut, jnp.zeros((n - 1, m, m, padB), dtype)], axis=-1)
+        bt = jnp.concatenate([bt, jnp.zeros((n, m, padB), dtype)], axis=-1)
+        lam = jnp.concatenate([lam, jnp.zeros((padB,), dtype)])
     # pad U along n so all inputs share the leading extent (last block unused)
-    Up = jnp.concatenate([Up, jnp.zeros((Bp, 1, m, m), dtype)], axis=1)
-
-    # lane-major layout: batch last
-    Dt = jnp.transpose(Dp, (1, 2, 3, 0))  # (n, m, m, Bp)
-    Ut = jnp.transpose(Up, (1, 2, 3, 0))
-    bt = jnp.transpose(bp, (1, 2, 0))  # (n, m, Bp)
-    lamt = lamp[None, :]  # (1, Bp)
+    Ut = jnp.concatenate([Ut, jnp.zeros((1, m, m, Bp), dtype)], axis=0)
+    lamt = lam[None, :]  # (1, Bp)
 
     grid = (Bp // tile_b,)
     kernel = functools.partial(_bt_kernel, n=n, m=m, scale=jacobi_scaling)
@@ -305,3 +330,31 @@ def batched_block_tridiag_solve(D, U, b, jacobi_scaling: bool = True,
     return jax.vmap(
         lambda d, u, bb: block_tridiag_solve(d, u, bb, jacobi_scaling=jacobi_scaling)
     )(D, U, b)
+
+
+def batched_block_tridiag_solve_lanemajor(Dt, Ut, bt, jacobi_scaling=True,
+                                          lam=None):
+    """Lane-major batch dispatch: Dt (n, m, m, B), Ut (n-1, m, m, B),
+    bt (n, m, B) -> x (B, n, m).
+
+    The optimizer's LM/GN hot path keeps the normal equations lane-major
+    end to end (vmap out_axes place the batch last at the linearize), so
+    the Pallas kernel consumes them with NO relayout — the batch-major
+    entry's operand transposes measured ~16 ms/step at the bench shape.
+    Off-TPU (or kernel-ineligible shapes) falls back to the batch-major
+    scan path via small transposes."""
+    n, m, B = bt.shape
+    # reuse the plan gate with a batch-major dummy shape descriptor
+    plan = _pallas_plan(
+        jax.ShapeDtypeStruct((B, n, m, m), Dt.dtype)
+    )
+    if plan is not None:
+        return block_tridiag_solve_pallas_lanemajor(
+            Dt, Ut, bt, lam=lam, jacobi_scaling=jacobi_scaling, **plan
+        )
+    D = jnp.transpose(Dt, (3, 0, 1, 2))
+    U = jnp.transpose(Ut, (3, 0, 1, 2))
+    b = jnp.transpose(bt, (2, 0, 1))
+    return batched_block_tridiag_solve(
+        D, U, b, jacobi_scaling=jacobi_scaling, lam=lam
+    )

@@ -313,6 +313,35 @@ def _vmapped_lin_err(problem_axes):
 
 
 @lru_cache(maxsize=None)
+def _vmapped_lin_flat(problem_axes):
+    """Block-flattened vmapped linearize: H_diag (B, n, m*m), H_off
+    (B, n-1, m*m). TPU memory is (8, 128)-tiled, so the natural
+    (B, n, m, m) layout pads its minor dim m (e.g. 14 -> 128 lanes, ~9x
+    the bytes) on every materialization in the optimizer loop; merging
+    the block dims makes the minor dim m*m (1.3x padding) and the solve
+    re-splits them for free after its lane-major transpose
+    (solver/optimize.py lin_layout='flat')."""
+    lin = jax.vmap(traj_linearize, in_axes=(problem_axes, 0))
+
+    def lin_flat(data, traj):
+        Hd, Ho, b, e = lin(data, traj)
+        B, n, m = Hd.shape[0], Hd.shape[1], Hd.shape[-1]
+        return (Hd.reshape(B, n, m * m), Ho.reshape(B, n - 1, m * m), b, e)
+
+    return lin_flat
+
+
+@lru_cache(maxsize=None)
+def _vmapped_lin_lane(problem_axes):
+    """LANE-major vmapped linearize: out_axes place the problem batch LAST
+    on the (H_diag, H_off, b) triple (err stays batch-first), matching the
+    Pallas solve kernel's native layout so the optimizer never relayouts
+    the normal equations (solver/optimize.py lin_layout='lane')."""
+    return jax.vmap(traj_linearize, in_axes=(problem_axes, 0),
+                    out_axes=(3, 3, 2, 0))
+
+
+@lru_cache(maxsize=None)
 def _retract_for(space):
     return partial(_retract_traj, space)
 
@@ -337,6 +366,25 @@ def plan_batch(problems: TrajProblem, init_traj: Trajectory,
         )
 
     lin, err = _vmapped_lin_err(problem_axes)
+    if params.method in ("lm", "gaussnewton") and params.lin_layout == "batch":
+        # default to the block-flattened layout: avoids the ~9x padded
+        # traffic of minor-dim-m arrays in the optimizer loop (see
+        # _vmapped_lin_flat)
+        import dataclasses as _dc
+
+        lin = _vmapped_lin_flat(problem_axes)
+        params = _dc.replace(params, lin_layout="flat")
+    elif params.lin_layout == "flat":
+        lin = _vmapped_lin_flat(problem_axes)
+    if params.lin_layout == "lane":
+        # opt-in: lane-major normal equations end to end (LM/GN only).
+        # Measured NEUTRAL on v5e at the bench shape (1538 vs 1609
+        # plans/s): `vmap out_axes` realizes the relayout at the linearize
+        # output, so the transpose moves rather than disappears — the
+        # in-context solve cost is dominated by the custom-call boundary,
+        # not the operand layout. Kept for memory systems where the
+        # lane-major producer fuses better.
+        lin = _vmapped_lin_lane(problem_axes)
     retract = _retract_for(space)
     return optimize_batch(
         lin, err, retract, init_traj, params,

@@ -47,6 +47,7 @@ accepted steps in all modes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -106,6 +107,23 @@ class OptimizerParams:
     # ts_mesh still key the chunk/static jit caches.
     ts_mesh: object = None
     ts_parts: int = 0
+    # layout of the (H_diag, H_off, b) triple emitted by linearize_fn:
+    #   'batch' (default): H_diag (B, n, m, m), H_off (B, n-1, m, m),
+    #       b (B, n, m) — the natural vmap layout, accepted everywhere.
+    #   'flat': H_diag (B, n, m*m), H_off (B, n-1, m*m) — block dims
+    #       merged so the minor dimension is m*m (e.g. 196) instead of m
+    #       (e.g. 14). TPU memory is (8, 128)-tiled: a minor dim of 14
+    #       pads 14 -> 128 lanes, so EVERY op that materializes H in the
+    #       (B, n, m, m) shape moves ~9x the bytes (device traces show
+    #       1.3 ms copies of 17 MB arrays). plan_batch selects this for
+    #       LM/GN. b and err keep their shapes.
+    #   'lane': H_diag (n, m, m, B), H_off (n-1, m, m, B), b (n, m, B) —
+    #       batch LAST, the Pallas solve kernel's native layout (minor
+    #       dim B, no padding). Measured neutral end-to-end: the vmap
+    #       out_axes relayout at the linearize output gives back what the
+    #       solve saves. LM/GN only.
+    #   Dogleg requires 'batch'.
+    lin_layout: str = "batch"
 
 
 class OptResult(NamedTuple):
@@ -143,6 +161,19 @@ def _mask_tree(mask, new, old):
     return jax.tree_util.tree_map(sel, new, old)
 
 
+def _mask_tree_lane(mask, new, old):
+    """Per-lane select over a LANE-major pytree (batch on the LAST axis;
+    the err leaf, rank 1, is batch-first either way)."""
+
+    def sel(a, b):
+        if a.ndim == 1:
+            return jnp.where(mask, a, b)
+        m = mask.reshape((1,) * (a.ndim - 1) + mask.shape)
+        return jnp.where(m, a, b)
+
+    return jax.tree_util.tree_map(sel, new, old)
+
+
 def _build_fns(linearize_fn: Callable, retract_fn: Callable,
                params: OptimizerParams):
     """Build `(make_init, step)` over a two-arg linearize_fn(data, traj).
@@ -151,6 +182,15 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
     the returned functions are pure in `data` and reusable across problem
     batches — the basis for the chunked-mode jit cache."""
     method = params.method
+    lane = params.lin_layout == "lane"
+    flat = params.lin_layout == "flat"
+    if (lane or flat) and method == "dogleg":
+        raise ValueError(
+            f"lin_layout={params.lin_layout!r} supports lm/gaussnewton "
+            "only; dogleg's trust-region algebra runs on the batch-major "
+            "layout"
+        )
+    mask_lin = _mask_tree_lane if lane else _mask_tree
 
     def check_convergence(cur, new):
         """GTSAM checkConvergence (NonlinearOptimizer.cpp)."""
@@ -163,6 +203,45 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
         )
 
     def damped_solve(H_diag, H_off, b, lam):
+        if flat:
+            # (B, n, mm) -> (n, mm, B) -> free split to (n, m, m, B): the
+            # transpose source has a well-tiled minor dim (mm), and the
+            # kernel's lane-major operands need no further relayout
+            B_, n_ = H_diag.shape[0], H_diag.shape[1]
+            m_ = b.shape[-1]
+            if params.ts_mesh is not None and params.ts_parts > 1:
+                Hd4 = H_diag.reshape(B_, n_, m_, m_)
+                Ho4 = H_off.reshape(B_, n_ - 1, m_, m_)
+                from .partitioned import (
+                    batched_block_tridiag_solve_ts_sharded,
+                )
+
+                eye = jnp.eye(m_, dtype=H_diag.dtype)
+                Hd4 = Hd4 + lam[:, None, None, None] * eye
+                return batched_block_tridiag_solve_ts_sharded(
+                    params.ts_mesh, Hd4, Ho4, b, params.ts_parts
+                )
+            from ..ops.btsolve import batched_block_tridiag_solve_lanemajor
+
+            Dt = jnp.transpose(H_diag, (1, 2, 0)).reshape(n_, m_, m_, B_)
+            Ut = jnp.transpose(H_off, (1, 2, 0)).reshape(n_ - 1, m_, m_, B_)
+            bt = jnp.transpose(b, (1, 2, 0))
+            return batched_block_tridiag_solve_lanemajor(Dt, Ut, bt, lam=lam)
+        if lane:
+            if params.ts_mesh is not None and params.ts_parts > 1:
+                # long-horizon ts-sharded path operates batch-major; the
+                # relayout is acceptable there (n >= 257 dominates)
+                H_diag = jnp.transpose(H_diag, (3, 0, 1, 2))
+                H_off = jnp.transpose(H_off, (3, 0, 1, 2))
+                b = jnp.transpose(b, (2, 0, 1))
+            else:
+                from ..ops.btsolve import (
+                    batched_block_tridiag_solve_lanemajor,
+                )
+
+                return batched_block_tridiag_solve_lanemajor(
+                    H_diag, H_off, b, lam=lam
+                )
         if params.ts_mesh is not None and params.ts_parts > 1:
             # sequence-parallel long-horizon path: Schur decomposition
             # sharded over the mesh's 'ts' axis (partitioned.py)
@@ -293,7 +372,7 @@ def _build_fns(linearize_fn: Callable, retract_fn: Callable,
         prev_traj = _mask_tree(accept, st.traj, st.prev_traj)
         prev_err = jnp.where(accept, st.err, st.prev_err)
         traj = _mask_tree(accept, cand, st.traj)
-        lin = _mask_tree(accept, cand_lin, st.lin)
+        lin = mask_lin(accept, cand_lin, st.lin)
         err = jnp.where(accept, new_err, st.err)
         conv_now = accept & check_convergence(st.err, new_err)
         converged = st.converged | conv_now
@@ -320,37 +399,56 @@ def _make_chunk(step: Callable, params: OptimizerParams):
 
     def chunk(data, st: _State):
         st = lax.fori_loop(0, csize, lambda i, s: step(data, s), st)
-        done = jnp.all(
-            st.converged | st.gave_up | (st.iters >= params.max_iter)
-        )
-        return st, done
+        # return the per-lane active mask alongside the all-done flag: the
+        # host reads both in ONE transfer, so compaction needs no second
+        # device round trip to fetch the mask
+        active = ~st.converged & ~st.gave_up & (st.iters < params.max_iter)
+        return st, ~jnp.any(active), active
 
     return chunk
 
 
-@jax.jit
-def _gather_state(st: _State, idx) -> _State:
-    """Select lanes `idx` (with possible duplicates) from a batched state."""
-    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), st)
+@functools.partial(jax.jit, static_argnames=("lane",))
+def _gather_state(st: _State, idx, lane: bool = False) -> _State:
+    """Select lanes `idx` (with possible duplicates) from a batched state.
+    `lane`: the lin triple carries its batch on the LAST axis."""
+    if not lane:
+        return jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), st)
+    lin = tuple(
+        jnp.take(a, idx, axis=(-1 if a.ndim > 1 else 0)) for a in st.lin)
+    rest = jax.tree_util.tree_map(
+        lambda a: jnp.take(a, idx, axis=0), st._replace(lin=()))
+    return rest._replace(lin=lin)
 
 
-@jax.jit
-def _scatter_state(full: _State, abs_idx, st: _State) -> _State:
+@functools.partial(jax.jit, static_argnames=("lane",))
+def _scatter_state(full: _State, abs_idx, st: _State,
+                   lane: bool = False) -> _State:
     """Write compacted lanes back into the full-size state snapshot."""
-    return jax.tree_util.tree_map(
-        lambda f, c: f.at[abs_idx].set(c), full, st
-    )
+    if not lane:
+        return jax.tree_util.tree_map(
+            lambda f, c: f.at[abs_idx].set(c), full, st)
+    lin = tuple(
+        (f.at[..., abs_idx].set(c) if f.ndim > 1 else f.at[abs_idx].set(c))
+        for f, c in zip(full.lin, st.lin))
+    rest = jax.tree_util.tree_map(
+        lambda f, c: f.at[abs_idx].set(c),
+        full._replace(lin=()), st._replace(lin=()))
+    return rest._replace(lin=lin)
 
 
-def _scatter_state_unique(full: _State, abs_idx: np.ndarray, st: _State) -> _State:
+def _scatter_state_unique(full: _State, abs_idx: np.ndarray, st: _State,
+                          lane: bool = False) -> _State:
     """Scatter compacted lanes back, writing each absolute index exactly
     once. Compaction pads with duplicate lanes; `.at[].set` with duplicate
     indices is undefined in JAX, so dedupe (keep first occurrence) before
     scattering rather than relying on the copies staying bitwise equal."""
     uniq, first = np.unique(abs_idx, return_index=True)
     if uniq.size != abs_idx.size:
-        st = _gather_state(st, jnp.asarray(first.astype(np.int32)))
-    return _scatter_state(full, jnp.asarray(uniq.astype(np.int32)), st)
+        st = _gather_state(st, jnp.asarray(first.astype(np.int32)), lane=lane)
+    return _scatter_state(full, jnp.asarray(uniq.astype(np.int32)), st,
+                          lane=lane)
 
 
 def _gather_data(data, data_axes, idx):
@@ -424,9 +522,17 @@ def _chunked_callables(linearize_fn, retract_fn, params, data=None):
         return hit
     _warn_unstable_identity(linearize_fn, retract_fn, params, data)
     make_init, step = _build_fns(linearize_fn, retract_fn, params)
+    chunk = _make_chunk(step, params)
+
+    def first_chunk(data, traj0):
+        # init linearize + first chunk in ONE dispatch: a separate init
+        # call costs a full round trip on a remote-dispatch backend
+        return chunk(data, make_init(data, traj0))
+
     fns = (
         jax.jit(make_init),
-        jax.jit(_make_chunk(step, params), donate_argnums=1),
+        jax.jit(chunk, donate_argnums=1),
+        jax.jit(first_chunk),
     )
     _CHUNK_CACHE[key] = fns
     return fns
@@ -506,6 +612,7 @@ def optimize_batch(
     residual+Jacobian evaluation per step)."""
     del error_fn
     leaf0 = jax.tree_util.tree_leaves(traj0)[0]
+    lin_lane = params.lin_layout == "lane"
 
     if data is None:
         lin2 = lambda _d, traj: linearize_fn(traj)  # noqa: E731
@@ -526,14 +633,16 @@ def optimize_batch(
 
     if loop == "chunked":
         if cacheable:
-            init_jit, run_chunk = _chunked_callables(lin2, retract_fn, params,
-                                                     data=data)
+            _init_jit, run_chunk, run_first = _chunked_callables(
+                lin2, retract_fn, params, data=data)
         else:
             make_init, step = _build_fns(lin2, retract_fn, params)
-            init_jit = jax.jit(make_init)
-            run_chunk = jax.jit(_make_chunk(step, params), donate_argnums=1)
+            chunkf = _make_chunk(step, params)
+            run_chunk = jax.jit(chunkf, donate_argnums=1)
+            run_first = jax.jit(
+                lambda d, t0: chunkf(d, make_init(d, t0)))
         csize = max(1, params.chunk_size)
-        st = init_jit(data, traj0)
+        st, done0, active0 = run_first(data, traj0)
         B0 = int(st.err.shape[0])
         # straggler compaction: active-lane gather between chunks. The
         # host sync is already paid by the all-done check; shrinking to the
@@ -550,36 +659,40 @@ def optimize_batch(
         full_st = None  # full-size snapshot once compacted (final values
         abs_idx = None  # for finished lanes); abs_idx maps lane -> 0..B0
         data_cur = data
-        attempts = 0
-        while attempts < total:
-            st, done = run_chunk(data_cur, st)
-            attempts += csize
-            if bool(done):
+        attempts = csize
+        done_dev, active_dev = done0, active0
+        while True:
+            # one transfer fetches the all-done flag AND the per-lane
+            # active mask (computed in-chunk) — no extra round trip
+            done_h, active = jax.device_get((done_dev, active_dev))
+            if bool(done_h) or attempts >= total:
                 break
-            if not can_compact:
-                continue
-            active = np.asarray(
-                ~st.converged & ~st.gave_up & (st.iters < params.max_iter)
-            )
-            tgt = max(params.compact_floor, _next_pow2(int(active.sum())))
-            Bcur = int(st.err.shape[0])
-            if tgt > Bcur // 2:
-                continue
-            if full_st is None:
-                full_st, abs_idx = st, np.arange(B0)
-            else:
-                full_st = _scatter_state_unique(full_st, abs_idx, st)
-            lanes = np.nonzero(active)[0]
-            # pad with a duplicate of an active lane: the copies evolve
-            # identically, so the final scatter writes consistent values
-            idx = np.concatenate(
-                [lanes, np.full(tgt - lanes.size, lanes[0])]
-            ).astype(np.int32)
-            st = _gather_state(st, jnp.asarray(idx))
-            abs_idx = abs_idx[idx]
-            data_cur = _gather_data(data, data_axes, jnp.asarray(abs_idx))
+            if can_compact:
+                tgt = max(params.compact_floor,
+                          _next_pow2(int(active.sum())))
+                Bcur = int(st.err.shape[0])
+                if tgt <= Bcur // 2:
+                    if full_st is None:
+                        full_st, abs_idx = st, np.arange(B0)
+                    else:
+                        full_st = _scatter_state_unique(
+                            full_st, abs_idx, st, lane=lin_lane)
+                    lanes = np.nonzero(active)[0]
+                    # pad with a duplicate of an active lane: the copies
+                    # evolve identically, so the final scatter writes
+                    # consistent values
+                    idx = np.concatenate(
+                        [lanes, np.full(tgt - lanes.size, lanes[0])]
+                    ).astype(np.int32)
+                    st = _gather_state(st, jnp.asarray(idx), lane=lin_lane)
+                    abs_idx = abs_idx[idx]
+                    data_cur = _gather_data(data, data_axes,
+                                            jnp.asarray(abs_idx))
+            st, done_dev, active_dev = run_chunk(data_cur, st)
+            attempts += csize
         if full_st is not None:
-            st = _scatter_state_unique(full_st, abs_idx, st)
+            st = _scatter_state_unique(full_st, abs_idx, st,
+                                       lane=lin_lane)
     elif loop == "static" and cacheable:
         st = _static_callable(lin2, retract_fn, params)(data, traj0)
     else:

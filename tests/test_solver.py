@@ -1,5 +1,6 @@
 """Block-tridiagonal solver and batched optimizer tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -296,3 +297,103 @@ class TestCompaction:
         np.testing.assert_allclose(
             np.asarray(res_on.traj), np.asarray(res_off.traj), **_C_TOL
         )
+
+
+class TestLaneLayout:
+    """lin_layout='lane' (batch-last normal equations through the whole
+    optimizer, solver/optimize.py) must match the default batch layout
+    bit-for-bit on every loop mode."""
+
+    def _setup(self):
+        import numpy as np
+
+        from gpmp2_tpu.kinematics.fk import PointRobotFK
+        from gpmp2_tpu.kinematics.robot import make_robot_model
+        from gpmp2_tpu.obstacle.sdf import PlanarSDF
+        from gpmp2_tpu.planner import TrajOptimizerSetting
+        from gpmp2_tpu.planner.batch import (
+            infer_batch_axes,
+            make_problem,
+            optimizer_params_from_setting,
+        )
+        from gpmp2_tpu.planner.traj_utils import init_traj_straight_line
+
+        ys = -1.5 + 3.0 / 95 * np.arange(96)
+        X, Y = np.meshgrid(ys, ys)
+        sdf = PlanarSDF(
+            origin=jnp.asarray([-1.5, -1.5]), cell_size=jnp.asarray(3.0 / 95),
+            data=jnp.asarray(np.sqrt(X**2 + (Y - 0.12) ** 2) - 0.3),
+        )
+        robot = make_robot_model(PointRobotFK(), [(0, 0.05, (0.0, 0.0, 0.0))])
+        setting = TrajOptimizerSetting(
+            dof=2, total_step=10, total_time=5.0, obs_check_inter=3,
+            opt_type="lm", max_iter=30, rel_thresh=1e-5, Qc=np.eye(2),
+        )
+        B = 5
+        rng = np.random.default_rng(3)
+        starts = jnp.asarray(
+            np.stack([[-0.8, dy] for dy in rng.uniform(-0.3, 0.3, B)]),
+            jnp.float32)
+        goals = jnp.asarray(
+            np.stack([[0.8, dy] for dy in rng.uniform(-0.3, 0.3, B)]),
+            jnp.float32)
+        zeros = jnp.zeros((B, 2), jnp.float32)
+        probs = make_problem(robot, sdf, starts, zeros, goals, zeros, setting)
+        tmpl = make_problem(robot, sdf, starts[0], zeros[0], goals[0],
+                            zeros[0], setting)
+        axes = infer_batch_axes(probs, tmpl)
+        init = jax.vmap(
+            lambda s, g: init_traj_straight_line(robot.space, s, g, 10, 5.0)
+        )(starts, goals)
+        return probs, axes, init, optimizer_params_from_setting(setting)
+
+    @pytest.mark.parametrize("loop", ["chunked", "static"])
+    @pytest.mark.parametrize("method", ["lm", "gaussnewton"])
+    def test_lane_matches_batch(self, loop, method):
+        import dataclasses
+
+        from gpmp2_tpu.planner.batch import plan_batch
+
+        probs, axes, init, params = self._setup()
+        params = dataclasses.replace(params, loop=loop, method=method,
+                                     max_iter=12, chunk_size=4)
+        r_b = plan_batch(probs, init, params, axes)
+        r_l = plan_batch(
+            probs, init,
+            dataclasses.replace(params, lin_layout="lane"), axes)
+        np.testing.assert_allclose(np.asarray(r_l.error),
+                                   np.asarray(r_b.error), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(r_l.traj.pose),
+                                   np.asarray(r_b.traj.pose), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(r_l.iterations),
+                                      np.asarray(r_b.iterations))
+
+    def test_lane_rejects_dogleg(self):
+        import dataclasses
+
+        from gpmp2_tpu.planner.batch import plan_batch
+
+        probs, axes, init, params = self._setup()
+        params = dataclasses.replace(params, method="dogleg",
+                                     lin_layout="lane")
+        with pytest.raises(ValueError, match="lane"):
+            plan_batch(probs, init, params, axes)
+
+    def test_lane_compaction_path(self):
+        """Compaction's lane-aware gather/scatter (batch on the LAST axis
+        of the lin triple) returns the same result as no compaction."""
+        import dataclasses
+
+        from gpmp2_tpu.planner.batch import plan_batch
+
+        probs, axes, init, params = self._setup()
+        base = dataclasses.replace(params, loop="chunked", chunk_size=2,
+                                   lin_layout="lane", compact_floor=2)
+        r_nc = plan_batch(probs, init,
+                          dataclasses.replace(base, compact=False), axes)
+        r_c = plan_batch(probs, init,
+                         dataclasses.replace(base, compact=True), axes)
+        np.testing.assert_allclose(np.asarray(r_c.error),
+                                   np.asarray(r_nc.error), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(r_c.traj.pose),
+                                   np.asarray(r_nc.traj.pose), atol=1e-6)
