@@ -127,13 +127,16 @@ def main():
         robot, sdf, starts[0], zeros[0], goals[0], zeros[0], setting
     )
     axes = infer_batch_axes(probs, template)
-    # chunk_size 12: one chunk covers the typical ~6.3 accepted + rejected
-    # attempts, so most batches finish without a second full-size chunk
-    # (measured: chunk 8 -> 1046 plans/s, 12 -> 1266, 16 -> 1033; quality
-    # stats identical — chunking only changes scheduling)
+    # chunk schedule 9 + tail 3: the 9-step first chunk covers the typical
+    # ~6.3 accepted + rejected attempts, stragglers compact (~2048 -> 256)
+    # and mop up in 3-step chunks. Measured (r4, quality identical across
+    # all schedules — chunking is pure scheduling): 12/12 -> 1952 plans/s,
+    # 9/6 -> 2030, 9/4 -> 2072, 9/3 -> 2061-2082, 9/2 -> 1866 (too many
+    # host syncs), 8/6 -> 1691, 10/4 -> 1963.
     params = dataclasses.replace(
         optimizer_params_from_setting(setting), loop=LOOP,
-        chunk_size=int(os.environ.get("BENCH_CHUNK", "12")),
+        chunk_size=int(os.environ.get("BENCH_CHUNK", "9")),
+        tail_chunk=int(os.environ.get("BENCH_TAIL", "3")),
         lambda_init=float(os.environ.get("BENCH_LAMBDA0", "100.0")),
     )
 

@@ -630,6 +630,10 @@ def traj_linearize(prob: TrajProblem, traj: Trajectory):
             )  # (T, d)
 
         confs = jax.vmap(conf_at)(pose[:-1], vel[:-1], pose[1:], vel[1:])
+        # ONE pass over support + interpolated states: a two-pass split
+        # (separate obstacle calls, no concat/slice) measured SLOWER
+        # (1900 vs 1952 plans/s) — the strided slices this concat forces
+        # are cheaper than the second pass's fixed overheads
         all_confs = jnp.concatenate(
             [pose, confs.reshape((n - 1) * T_taus, d)], axis=0
         )

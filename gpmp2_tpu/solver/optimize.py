@@ -85,6 +85,11 @@ class OptimizerParams:
     # bench: 8 -> 1046 plans/s, 12 -> 1266-1286; results are identical —
     # chunking is pure scheduling).
     chunk_size: int = 12
+    # steps per chunk AFTER the first chunk (0 = same as chunk_size).
+    # The first chunk covers the typical full solve; later chunks only
+    # mop up stragglers (usually compacted to a small batch), where a
+    # shorter trip count re-checks the all-done flag sooner.
+    tail_chunk: int = 0
     # straggler compaction ('chunked' mode with data_axes): between chunks,
     # gather still-active lanes into a power-of-two batch so late
     # iterations don't pay full-batch linearize cost for converged lanes.
@@ -642,6 +647,17 @@ def optimize_batch(
             run_first = jax.jit(
                 lambda d, t0: chunkf(d, make_init(d, t0)))
         csize = max(1, params.chunk_size)
+        tail = max(1, params.tail_chunk or csize)
+        if tail != csize:
+            tail_params = dataclasses.replace(params, chunk_size=tail)
+            if cacheable:
+                _, run_tail, _ = _chunked_callables(
+                    lin2, retract_fn, tail_params, data=data)
+            else:
+                run_tail = jax.jit(_make_chunk(step, tail_params),
+                                   donate_argnums=1)
+        else:
+            run_tail = run_chunk
         st, done0, active0 = run_first(data, traj0)
         B0 = int(st.err.shape[0])
         # straggler compaction: active-lane gather between chunks. The
@@ -688,8 +704,8 @@ def optimize_batch(
                     abs_idx = abs_idx[idx]
                     data_cur = _gather_data(data, data_axes,
                                             jnp.asarray(abs_idx))
-            st, done_dev, active_dev = run_chunk(data_cur, st)
-            attempts += csize
+            st, done_dev, active_dev = run_tail(data_cur, st)
+            attempts += tail
         if full_st is not None:
             st = _scatter_state_unique(full_st, abs_idx, st,
                                        lane=lin_lane)
