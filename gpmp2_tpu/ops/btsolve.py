@@ -313,11 +313,18 @@ def batched_block_tridiag_solve(D, U, b, jacobi_scaling: bool = True,
         m_ = D.shape[-1]
         D = D + lam[:, None, None, None] * jnp.eye(m_, dtype=D.dtype)
     n = D.shape[1]
-    if n >= 256:
-        # long horizons: the sequential scan's critical path is n steps;
-        # the separator (Schur) decomposition cuts it to n/P + P
-        # (solver/partitioned.py) — segments run in parallel on one chip
-        # and shard over a 'ts' mesh axis under GSPMD
+    import os
+
+    if n >= 256 and os.environ.get("GPMP2_TPU_PARTITIONED") == "1":
+        # OPT-IN single-device Schur path. Measured on a v5e chip
+        # (bench_longhorizon.py / LONGHORIZON.json): the sequential scan
+        # BEATS the separator decomposition at every horizon tested
+        # (n=1025, B=256, m=14: 674 vs 964 ms) — each scan step is a big
+        # batched VPU op, so the chip never starves on the critical path,
+        # while the Schur form pays ~2x the FLOPs. The partitioned solver
+        # earns its keep only when the trajectory axis is SHARDED over a
+        # mesh ('ts' axis, OptimizerParams.ts_mesh -> partitioned.py),
+        # where it turns the per-device critical path into n/P + P.
         from ..solver.partitioned import block_tridiag_solve_partitioned
 
         P = max(2, min(64, n // 64))

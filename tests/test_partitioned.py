@@ -88,14 +88,26 @@ class TestTsSharded:
 
 
 class TestDispatch:
-    def test_long_horizon_dispatches_partitioned(self):
-        """batched_block_tridiag_solve picks the partitioned path for
-        n >= 256 and still matches the sequential scan."""
+    def test_long_horizon_partitioned_opt_in(self, monkeypatch):
+        """The single-device Schur path is OPT-IN (GPMP2_TPU_PARTITIONED=1;
+        measured slower than the scan on-chip, LONGHORIZON.json) and still
+        matches the sequential scan when enabled."""
         from gpmp2_tpu.ops.btsolve import batched_block_tridiag_solve
 
+        monkeypatch.setenv("GPMP2_TPU_PARTITIONED", "1")
         D, U, b = _system(300, 4, seed=11)
         DB, UB, bb = D[None], U[None], b[None]
         x = batched_block_tridiag_solve(DB, UB, bb)
+        x_ref = block_tridiag_solve(D, U, b)
+        np.testing.assert_allclose(np.asarray(x[0]), np.asarray(x_ref),
+                                   rtol=1e-8, atol=1e-8)
+
+    def test_long_horizon_default_scan(self):
+        """Default long-horizon dispatch stays on the scan."""
+        from gpmp2_tpu.ops.btsolve import batched_block_tridiag_solve
+
+        D, U, b = _system(300, 4, seed=12)
+        x = batched_block_tridiag_solve(D[None], U[None], b[None])
         x_ref = block_tridiag_solve(D, U, b)
         np.testing.assert_allclose(np.asarray(x[0]), np.asarray(x_ref),
                                    rtol=1e-8, atol=1e-8)
