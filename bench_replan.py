@@ -91,6 +91,19 @@ def main():
         fleet.fix_config_and_vel(
             np.full(B, state_idx), traj.pose[:, state_idx],
             traj.vel[:, state_idx])
+        if r % 2 == 0:
+            # measurement fusion every other round: fuse a noisy observed
+            # state at the following support state (the receding-horizon
+            # consumer's add_state_estimate path,
+            # ISAM2TrajOptimizer-inl.h:186-195, lane-wise)
+            meas_idx = state_idx + 1
+            meas_pose = traj.pose[:, meas_idx] + jnp.asarray(
+                0.01 * rng.normal(size=(B, 7)), dtype)
+            meas_vel = traj.vel[:, meas_idx] + jnp.asarray(
+                0.01 * rng.normal(size=(B, 7)), dtype)
+            fleet.add_state_estimate(
+                np.full(B, meas_idx), meas_pose, 1e-4 * np.ones(7),
+                meas_vel, 1e-4 * np.ones(7))
         dg = jnp.asarray(0.02 * rng.normal(size=(B, 7)), dtype)
         fleet.change_goal_config_and_vel(
             fleet._probs.end_pose + dg, zeros)
