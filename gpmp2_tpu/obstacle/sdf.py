@@ -40,6 +40,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "PlanarSDF",
+    "planar_sdf_lookup_components",
+    "sdf_lookup_components",
     "SignedDistanceField",
     "planar_sdf_lookup",
     "sdf_lookup",
@@ -355,3 +357,92 @@ def sdf_lookup(sdf: SignedDistanceField, point, screen_thresh=None):
         dist = jnp.where(maybe, dist, bound)
         grad = jnp.where(maybe[..., None], grad, 0.0)
     return dist, grad, in_range
+
+
+def planar_sdf_lookup_components(sdf, px, py):
+    """Planar bilinear lookup on COMPONENT arrays of any shape: returns
+    (dist, gx, gy, ok). Same math as obstacle/sdf.py:planar_sdf_lookup."""
+    rows, cols = sdf.data.shape[-2], sdf.data.shape[-1]
+    cs = sdf.cell_size
+    x = (px - sdf.origin[0]) / cs
+    y = (py - sdf.origin[1]) / cs
+    ok = (x >= 0.0) & (x <= cols - 1.0) & (y >= 0.0) & (y <= rows - 1.0)
+    xc = jnp.clip(x, 0.0, cols - 1.0)
+    yc = jnp.clip(y, 0.0, rows - 1.0)
+    lci = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, cols - 2)
+    lri = jnp.clip(jnp.floor(yc).astype(jnp.int32), 0, rows - 2)
+    fx = xc - lci.astype(xc.dtype)
+    fy = yc - lri.astype(yc.dtype)
+    base = lri * cols + lci
+    shape = base.shape
+    flat = base.reshape(-1)
+    if sdf.packed is not None:
+        vals = jnp.take(sdf.packed.reshape(-1, 4), flat, axis=0, mode="clip")
+        v = [vals[:, k].reshape(shape).astype(px.dtype) for k in range(4)]
+    else:
+        data = sdf.data.reshape(-1)
+        offs = (0, cols, 1, cols + 1)
+        v = [jnp.take(data, flat + o, mode="clip").reshape(shape)
+             for o in offs]
+    d00, d10, d01, d11 = v
+    dist = ((1 - fy) * (1 - fx) * d00 + fy * (1 - fx) * d10
+            + (1 - fy) * fx * d01 + fy * fx * d11)
+    g_row = (1 - fx) * (d10 - d00) + fx * (d11 - d01)
+    g_col = (1 - fy) * (d01 - d00) + fy * (d11 - d10)
+    return dist, g_col / cs, g_row / cs, ok
+
+
+def sdf_lookup_components(sdf, px, py, pz):
+    """3D trilinear lookup on COMPONENT arrays of any shape: returns
+    (dist, gx, gy, gz, ok). Same math as obstacle/sdf.py:sdf_lookup
+    (without the opt-in screens). The corner gather runs on the FLAT
+    query vector so its output keeps the gather engine's corner-major
+    layout; each corner column is then a contiguous slice."""
+    nz, rows, cols = sdf.data.shape[-3:]
+    cs = sdf.cell_size
+    x = (px - sdf.origin[0]) / cs
+    y = (py - sdf.origin[1]) / cs
+    z = (pz - sdf.origin[2]) / cs
+    ok = ((x >= 0.0) & (x <= cols - 1.0) & (y >= 0.0) & (y <= rows - 1.0)
+          & (z >= 0.0) & (z <= nz - 1.0))
+    xc = jnp.clip(x, 0.0, cols - 1.0)
+    yc = jnp.clip(y, 0.0, rows - 1.0)
+    zc = jnp.clip(z, 0.0, nz - 1.0)
+    lci = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, cols - 2)
+    lri = jnp.clip(jnp.floor(yc).astype(jnp.int32), 0, rows - 2)
+    lzi = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, nz - 2)
+    fx = xc - lci.astype(xc.dtype)
+    fy = yc - lri.astype(yc.dtype)
+    fz = zc - lzi.astype(zc.dtype)
+    base = (lzi * rows + lri) * cols + lci
+    shape = base.shape
+    flat = base.reshape(-1)
+    if sdf.packed is not None:
+        vals = jnp.take(sdf.packed.reshape(-1, 8), flat, axis=0, mode="clip")
+        v = [vals[:, k].reshape(shape).astype(px.dtype) for k in range(8)]
+    else:
+        data = sdf.data.reshape(-1)
+        v = [jnp.take(data, flat + o, mode="clip").reshape(shape)
+             for o in _corner_offsets_3d(rows, cols)]
+    d000, d010, d001, d011, d100, d110, d101, d111 = v
+    dist = ((1 - fy) * (1 - fx) * (1 - fz) * d000
+            + fy * (1 - fx) * (1 - fz) * d010
+            + (1 - fy) * fx * (1 - fz) * d001
+            + fy * fx * (1 - fz) * d011
+            + (1 - fy) * (1 - fx) * fz * d100
+            + fy * (1 - fx) * fz * d110
+            + (1 - fy) * fx * fz * d101
+            + fy * fx * fz * d111)
+    g_row = ((1 - fx) * (1 - fz) * (d010 - d000)
+             + fx * (1 - fz) * (d011 - d001)
+             + (1 - fx) * fz * (d110 - d100)
+             + fx * fz * (d111 - d101))
+    g_col = ((1 - fy) * (1 - fz) * (d001 - d000)
+             + fy * (1 - fz) * (d011 - d010)
+             + (1 - fy) * fz * (d101 - d100)
+             + fy * fz * (d111 - d110))
+    g_z = ((1 - fy) * (1 - fx) * (d100 - d000)
+           + fy * (1 - fx) * (d110 - d010)
+           + (1 - fy) * fx * (d101 - d001)
+           + fy * fx * (d111 - d011))
+    return dist, g_col / cs, g_row / cs, g_z / cs, ok

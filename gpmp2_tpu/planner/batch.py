@@ -366,25 +366,43 @@ def plan_batch(problems: TrajProblem, init_traj: Trajectory,
         )
 
     lin, err = _vmapped_lin_err(problem_axes)
-    if params.method in ("lm", "gaussnewton") and params.lin_layout == "batch":
-        # default to the block-flattened layout: avoids the ~9x padded
-        # traffic of minor-dim-m arrays in the optimizer loop (see
-        # _vmapped_lin_flat)
+    if params.lin_layout == "lane":
+        # explicit opt-in: vmap-out_axes lane layout (the relayout happens
+        # at the linearize output; measured neutral — kept as a tested
+        # option and for parity tests of the lane solver plumbing)
+        lin = _vmapped_lin_lane(problem_axes)
+    elif params.lin_layout == "lane_native":
+        # natively lane-major linearize (linearize_lane.py): batch axis
+        # LAST everywhere, zero relayout into the solve kernel. Measured
+        # SLOWER than 'flat' end to end on v5e (1827 vs 2061 plans/s): it
+        # removes ~9 ms/step of padded-layout traffic but its state-major
+        # query order costs the corner gather ~9 ms of locality
+        # (43.7 -> 52.4 ms in device traces). Kept as a tested option;
+        # the flat path adopted its component-wise lookup instead.
+        import dataclasses as _dc
+
+        from .linearize_lane import (
+            lane_linearize_supported,
+            traj_linearize_lane,
+        )
+
+        if not lane_linearize_supported(problems, problem_axes):
+            raise ValueError(
+                "lin_layout='lane_native' requested but the problem is "
+                "outside the lane-major fast path's scope "
+                "(see linearize_lane.lane_linearize_supported)"
+            )
+        lin = traj_linearize_lane
+        params = _dc.replace(params, lin_layout="lane")
+    elif params.method in ("lm", "gaussnewton") and params.lin_layout == "batch":
+        # block-flattened layout: avoids the ~9x padded traffic of
+        # minor-dim-m H arrays in the optimizer loop
         import dataclasses as _dc
 
         lin = _vmapped_lin_flat(problem_axes)
         params = _dc.replace(params, lin_layout="flat")
     elif params.lin_layout == "flat":
         lin = _vmapped_lin_flat(problem_axes)
-    if params.lin_layout == "lane":
-        # opt-in: lane-major normal equations end to end (LM/GN only).
-        # Measured NEUTRAL on v5e at the bench shape (1538 vs 1609
-        # plans/s): `vmap out_axes` realizes the relayout at the linearize
-        # output, so the transpose moves rather than disappears — the
-        # in-context solve cost is dominated by the custom-call boundary,
-        # not the operand layout. Kept for memory systems where the
-        # lane-major producer fuses better.
-        lin = _vmapped_lin_lane(problem_axes)
     retract = _retract_for(space)
     return optimize_batch(
         lin, err, retract, init_traj, params,

@@ -242,7 +242,7 @@ def _obs_res_jac_arm_fused(prob: TrajProblem, confs):
     geometric Jacobian) with the (S, d, 3) cross intermediates folded
     away. Planar variants fall out with grad_z = 0."""
     from ..kinematics.robot import sphere_centers_axes_batched
-    from ..obstacle.sdf import planar_sdf_lookup, sdf_lookup
+    from ..obstacle.sdf import planar_sdf_lookup_components, sdf_lookup_components
 
     d = confs.shape[-1]
     lead = confs.shape[:-1]
@@ -251,15 +251,30 @@ def _obs_res_jac_arm_fused(prob: TrajProblem, confs):
         prob.robot, flat
     )  # (N, S, 3), (N, d, 3), (N, d, 3)
     eps_total = prob.robot.sphere_radii + prob.eps
+    # COMPONENT-wise lookup: the (..., 3)/(..., 8) vector tails of the
+    # point/corner tensors pad 3 -> 8 sublanes / 8 -> 128 lanes in TPU
+    # tiled memory; the component form runs the corner gather on the FLAT
+    # query vector (output keeps the gather engine's corner-major layout,
+    # each corner column a contiguous slice) and measured ~6 ms/step less
+    # gather post-processing (relayout copies, per-corner dynamic slices)
+    # at the bench shape. Opt-in screens (coarse/screen_boxes) are ignored
+    # here — they only change WHICH rows are gathered, never the hinge.
+    cx, cy, cz = centers[..., 0], centers[..., 1], centers[..., 2]
     if prob.planar:
-        dist, g2, ok = planar_sdf_lookup(prob.sdf, centers[..., :2])
-        g = jnp.concatenate([g2, jnp.zeros_like(g2[..., :1])], axis=-1)
+        dist, gx, gy, ok = planar_sdf_lookup_components(prob.sdf, cx, cy)
+        gz = jnp.zeros_like(gx)
     else:
-        dist, g, ok = sdf_lookup(prob.sdf, centers, screen_thresh=eps_total)
+        dist, gx, gy, gz, ok = sdf_lookup_components(prob.sdf, cx, cy, cz)
     active = ok & (dist <= eps_total)
     r = jnp.where(active, eps_total - dist, 0.0)
-    c = jnp.cross(centers, g)  # (N, S, 3)
-    w = jnp.cross(z, o)  # (N, d, 3)
+    # c = p x g, w = z x o in components
+    c1 = cy * gz - cz * gy
+    c2 = cz * gx - cx * gz
+    c3 = cx * gy - cy * gx
+    zx, zy, zz = z[..., 0], z[..., 1], z[..., 2]
+    w1 = zy * o[..., 2] - zz * o[..., 1]
+    w2 = zz * o[..., 0] - zx * o[..., 2]
+    w3 = zx * o[..., 1] - zy * o[..., 0]
     jmask = (
         jnp.arange(d)[None, :] <= prob.robot.sphere_link_ids[:, None]
     )  # (S, d)
@@ -268,12 +283,12 @@ def _obs_res_jac_arm_fused(prob: TrajProblem, confs):
     # convolution emitter plus ~4 ms of operand relayout copies per step
     # (device trace, B=2048)
     dot = (
-        c[..., :, None, 0] * z[..., None, :, 0]
-        + c[..., :, None, 1] * z[..., None, :, 1]
-        + c[..., :, None, 2] * z[..., None, :, 2]
-        - g[..., :, None, 0] * w[..., None, :, 0]
-        - g[..., :, None, 1] * w[..., None, :, 1]
-        - g[..., :, None, 2] * w[..., None, :, 2]
+        c1[..., :, None] * zx[..., None, :]
+        + c2[..., :, None] * zy[..., None, :]
+        + c3[..., :, None] * zz[..., None, :]
+        - gx[..., :, None] * w1[..., None, :]
+        - gy[..., :, None] * w2[..., None, :]
+        - gz[..., :, None] * w3[..., None, :]
     )
     J = jnp.where(active[..., None] & jmask, -dot, 0.0)
     S = r.shape[-1]
