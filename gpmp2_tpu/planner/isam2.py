@@ -165,11 +165,17 @@ class ISAM2TrajOptimizer:
     @staticmethod
     def _cov_to_prec(cov, d):
         cov = np.asarray(cov, dtype=np.float64)
-        if cov.ndim == 0:
-            return np.full(d, 1.0 / cov)
-        if cov.ndim == 1:
-            return 1.0 / cov
-        return 1.0 / np.diagonal(cov)
+        if cov.ndim >= 2:
+            cov = np.diagonal(cov)
+        if not np.all(cov > 0.0):
+            # a zero/negative variance would silently become an inf/NaN
+            # precision and poison the whole solve; GTSAM's Gaussian noise
+            # models reject it too (constrained models are a separate type)
+            raise ValueError(
+                "pose/vel covariance diagonals must be strictly positive; "
+                f"got min {cov.min()!r}"
+            )
+        return np.broadcast_to(1.0 / cov, (d,))
 
     def _add_slot(self, state_idx, pose, vel, pose_w, vel_w):
         assert self._prob is not None, "call init_factor_graph first"
@@ -303,7 +309,8 @@ class ISAM2BatchSessions:
         if lanes is None:
             new_pose, new_vel = goal_pose, goal_vel
         else:
-            mask = jnp.zeros((self._B, 1), bool).at[jnp.asarray(lanes)].set(True)
+            mask = (jnp.zeros((self._B, 1), bool)
+                    .at[self._lane_indices(lanes)].set(True))
             new_pose = jnp.where(mask, goal_pose, self._probs.end_pose)
             new_vel = jnp.where(mask, goal_vel, self._probs.end_vel)
         # keep the weight leaves in their existing (shared or batched)
@@ -326,15 +333,17 @@ class ISAM2BatchSessions:
             w_vel = jnp.zeros_like(self._probs.goal_vel_w)
         else:
             # weight leaves may be shared (unbatched) — lane-selective
-            # removal needs them batched; broadcast up if necessary
+            # removal needs them batched; broadcast EACH leaf independently
+            # (they are usually in lockstep, but nothing guarantees it)
             w_pose, w_vel = self._probs.goal_pose_w, self._probs.goal_vel_w
             if w_pose.ndim == 1:
                 w_pose = jnp.tile(w_pose[None], (self._B, 1))
+                self._axes = dataclasses.replace(self._axes, goal_pose_w=0)
+            if w_vel.ndim == 1:
                 w_vel = jnp.tile(w_vel[None], (self._B, 1))
-                self._axes = dataclasses.replace(
-                    self._axes, goal_pose_w=0, goal_vel_w=0
-                )
-            mask = jnp.zeros((self._B, 1), bool).at[jnp.asarray(lanes)].set(True)
+                self._axes = dataclasses.replace(self._axes, goal_vel_w=0)
+            mask = (jnp.zeros((self._B, 1), bool)
+                    .at[self._lane_indices(lanes)].set(True))
             w_pose = jnp.where(mask, 0.0, w_pose)
             w_vel = jnp.where(mask, 0.0, w_vel)
         self._probs = dataclasses.replace(
@@ -380,7 +389,22 @@ class ISAM2BatchSessions:
         cov = np.asarray(cov, np.float64)
         if cov.ndim == 3:  # (B, d, d) full matrices
             cov = np.diagonal(cov, axis1=-2, axis2=-1)
+        if not np.all(cov > 0.0):
+            raise ValueError(
+                "pose/vel covariance diagonals must be strictly positive; "
+                f"got min {cov.min()!r}"
+            )
         return np.broadcast_to(1.0 / cov, (self._B, d))
+
+    @staticmethod
+    def _lane_indices(lanes):
+        """Coerce a `lanes` argument to integer indices. Boolean masks (a
+        natural way to say 'these lanes') would otherwise be silently
+        reinterpreted as indices 0/1 by `.at[lanes]`."""
+        lanes = np.asarray(lanes)
+        if lanes.dtype == bool:
+            lanes = np.nonzero(lanes)[0]
+        return jnp.asarray(lanes, jnp.int32)
 
     def _write_slots(self, state_idx, pose, vel, pose_w, vel_w):
         assert (self._slot < self._K).all(), "out of replanning prior slots"

@@ -471,9 +471,12 @@ def _gather_data(data, data_axes, idx):
 # cache hits must pass identical function objects each time (plan_batch
 # does, via its own lru caches over axes/space).
 _CHUNK_CACHE: dict = {}
-# structural-key -> last function identities, to detect callers that
-# rebuild equivalent closures per call (each one re-jits silently)
+# structural-key -> weakrefs of the last function identities, to detect
+# callers that rebuild equivalent closures per call (each one re-jits
+# silently). Weakrefs + a size bound keep the diagnostic from pinning
+# caller closures (and their captured arrays) for the process lifetime.
 _CHUNK_IDENTITY_SEEN: dict = {}
+_CHUNK_IDENTITY_MAX = 64
 
 
 def _fn_code(f):
@@ -503,20 +506,30 @@ def _warn_unstable_identity(linearize_fn, retract_fn, params, data):
     one — the caller is constructing fresh linearize/retract closures per
     call and every solve re-traces (plan_batch avoids this via its own lru
     caches). Distinct configs (different shapes) never trigger it."""
+    import warnings
+    import weakref
+
     skey = (_fn_code(linearize_fn), _fn_code(retract_fn), params,
             _data_fingerprint(data))
     prev = _CHUNK_IDENTITY_SEEN.get(skey)
-    _CHUNK_IDENTITY_SEEN[skey] = (linearize_fn, retract_fn)
-    if prev is not None and prev != (linearize_fn, retract_fn):
-        import sys
-
-        print(
+    if len(_CHUNK_IDENTITY_SEEN) >= _CHUNK_IDENTITY_MAX:
+        _CHUNK_IDENTITY_SEEN.clear()
+    try:
+        _CHUNK_IDENTITY_SEEN[skey] = (weakref.ref(linearize_fn),
+                                      weakref.ref(retract_fn))
+    except TypeError:  # non-weakrefable callables (e.g. C extensions)
+        _CHUNK_IDENTITY_SEEN.pop(skey, None)
+        return
+    if prev is not None and (prev[0](), prev[1]()) != (linearize_fn,
+                                                       retract_fn):
+        warnings.warn(
             "gpmp2_tpu.optimize_batch: chunk-cache miss — linearize_fn/"
             "retract_fn are new function objects with identical code on an "
             "identically-shaped problem; each call re-jits the solve. Pass "
             "stable function objects (or use planner.batch.plan_batch) to "
             "reuse the compiled chunks.",
-            file=sys.stderr,
+            RuntimeWarning,
+            stacklevel=3,
         )
 
 
