@@ -275,3 +275,116 @@ class TestBatchSessions:
                                    [0.8, 0.0], atol=1e-3)
         np.testing.assert_allclose(np.asarray(traj.pose[2, -1]),
                                    [0.8, 0.0], atol=1e-3)
+
+
+def _mobile_world():
+    """SE(2) x R^2 mobile manipulator world (the reference's
+    Pose2MobileArm2D replanner domain, ISAM2TrajOptimizer.h:140-152)."""
+    from gpmp2_tpu.robots import generate_mobile_arm
+
+    ys = -2.0 + 4.0 / 95 * np.arange(96)
+    X, Y = np.meshgrid(ys, ys)
+    dist = np.sqrt((X - 0.1) ** 2 + (Y - 0.4) ** 2) - 0.35
+    sdf = PlanarSDF(
+        origin=jnp.asarray([-2.0, -2.0]), cell_size=jnp.asarray(4.0 / 95),
+        data=jnp.asarray(dist),
+    )
+    robot = generate_mobile_arm("SimpleTwoLinksArm", dtype=jnp.float64)
+    setting = TrajOptimizerSetting(
+        dof=5, total_step=10, total_time=5.0, obs_check_inter=2,
+        opt_type="lm", max_iter=100, rel_thresh=1e-6, Qc=np.eye(5),
+    )
+    return robot, sdf, setting
+
+
+class TestMobileReplanning:
+    """Lie-state (Pose2Vector = SE(2) x R^n) incremental replanning — the
+    reference ships mobile replanner classes (ISAM2TrajOptimizer.h:140-171)
+    and implements goal-change/fix-state on Pose2Vector states
+    (-inl.h:121-195); these tests exercise the same ops on
+    Pose2MobileArmFK sessions."""
+
+    def test_mobile_session(self):
+        robot, sdf, setting = _mobile_world()
+        start = jnp.asarray([-1.2, -0.8, 0.0, 0.3, 0.6], jnp.float64)
+        goal = jnp.asarray([1.2, 0.9, 1.0, 0.6, 0.3], jnp.float64)
+        zero = jnp.zeros(5, jnp.float64)
+
+        res = batch_traj_optimize(robot, sdf, start, zero, goal, zero,
+                                  setting)
+        opt = ISAM2TrajOptimizer(robot, sdf, setting)
+        opt.init_factor_graph(start, zero, goal, zero)
+        opt.init_values(res.traj)
+        opt.update()
+        base = opt.values()
+        np.testing.assert_allclose(
+            np.asarray(base.pose), np.asarray(res.traj.pose), atol=1e-4)
+
+        # robot executed to state 3 (an SE(2) x R^2 state): pin it, move
+        # the goal on the manifold, re-solve warm
+        executed_pose = base.pose[3]
+        executed_vel = base.vel[3]
+        opt.fix_config_and_vel(3, executed_pose, executed_vel)
+        new_goal = jnp.asarray([1.2, 0.5, 0.7, 0.5, 0.4], jnp.float64)
+        opt.change_goal_config_and_vel(new_goal, zero)
+        opt.update()
+        replanned = opt.values()
+
+        np.testing.assert_allclose(
+            np.asarray(replanned.pose[3]), np.asarray(executed_pose),
+            atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(replanned.pose[-1]), np.asarray(new_goal), atol=1e-3)
+
+        # measurement fusion on the Lie state
+        measured = np.asarray(replanned.pose[6]) + np.asarray(
+            [0.04, -0.03, 0.05, 0.02, -0.02])
+        opt.add_pose_estimate(6, jnp.asarray(measured), 1e-6 * np.eye(5))
+        opt.update()
+        np.testing.assert_allclose(
+            np.asarray(opt.values().pose[6]), measured, atol=1e-2)
+
+    def test_mobile_fleet_matches_single(self):
+        robot, sdf, setting = _mobile_world()
+        B = 3
+        rng = np.random.default_rng(3)
+        base_start = np.array([-1.2, -0.8, 0.0, 0.3, 0.6])
+        base_goal = np.array([1.2, 0.9, 1.0, 0.6, 0.3])
+        starts = jnp.asarray(
+            base_start + 0.05 * rng.normal(size=(B, 5)), jnp.float64)
+        goals = jnp.asarray(
+            base_goal + 0.05 * rng.normal(size=(B, 5)), jnp.float64)
+        zeros = jnp.zeros((B, 5), jnp.float64)
+
+        res = batch_traj_optimize(robot, sdf, starts, zeros, goals, zeros,
+                                  setting)
+        fleet = ISAM2BatchSessions(robot, sdf, setting, batch=B,
+                                   warm_iter=100)
+        fleet.init_factor_graph(starts, zeros, goals, zeros)
+        fleet.init_values(res.traj)
+        fleet.update()
+
+        poses = fleet.values()
+        fleet.fix_config_and_vel(
+            np.full(B, 3), poses.pose[:, 3], poses.vel[:, 3])
+        new_goals = goals + jnp.asarray([0.0, -0.3, 0.2, 0.1, 0.0])
+        fleet.change_goal_config_and_vel(new_goals, zeros)
+        fleet.update()
+        fleet_traj = fleet.values()
+
+        for b in range(B):
+            opt = ISAM2TrajOptimizer(robot, sdf, setting)
+            opt.init_factor_graph(starts[b], zeros[b], goals[b], zeros[b])
+            opt.init_values(
+                type(res.traj)(res.traj.pose[b], res.traj.vel[b]))
+            opt.update()
+            pb = opt.values()
+            opt.fix_config_and_vel(3, pb.pose[3], pb.vel[3])
+            opt.change_goal_config_and_vel(new_goals[b], zeros[b])
+            opt.update()
+            np.testing.assert_allclose(
+                np.asarray(fleet_traj.pose[b]),
+                np.asarray(opt.values().pose), atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(fleet_traj.pose[:, -1]), np.asarray(new_goals),
+            atol=1e-3)

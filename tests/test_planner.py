@@ -306,3 +306,113 @@ class TestPlannerCompaction:
             np.asarray(res_on.error), np.asarray(res_off.error),
             rtol=0, atol=0,
         )
+
+
+class TestInterpolateTrajLie:
+    """SE(2) / SE(2)xR^n trajectory densification (interpolatePose2Traj /
+    interpolatePose2MobileArmTraj, TrajUtils.cpp:200-275; reference test
+    testTrajUtils.cpp:26-55)."""
+
+    def test_se2_constant_twist_exact(self):
+        """A constant-body-twist trajectory is in the GP mean's null space:
+        densified states must lie exactly on the geodesic
+        p(t) = p0 * Exp(t w), v(t) = w."""
+        from gpmp2_tpu.geometry.statespace import SE2Space
+
+        space = SE2Space()
+        dt = 0.5
+        n_steps = 4
+        w = jnp.asarray([0.4, -0.2, 0.7], jnp.float64)  # (vx, vy, omega)
+        p0 = jnp.asarray([0.3, -0.1, 0.25], jnp.float64)
+        poses = jnp.stack(
+            [space.retract(p0, (i * dt) * w) for i in range(n_steps + 1)])
+        vels = jnp.tile(w, (n_steps + 1, 1))
+        traj = Trajectory(poses, vels)
+
+        inter = 3
+        dense = interpolate_traj(space, traj, jnp.eye(3, dtype=jnp.float64),
+                                 dt, inter)
+        num_int = inter + 1
+        assert dense.pose.shape == (n_steps * num_int + 1, 3)
+
+        tau_step = dt / num_int
+        expect = jnp.stack([
+            space.retract(p0, (k * tau_step) * w)
+            for k in range(n_steps * num_int + 1)
+        ])
+        np.testing.assert_allclose(np.asarray(dense.pose),
+                                   np.asarray(expect), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(dense.vel), np.tile(np.asarray(w),
+                                           (n_steps * num_int + 1, 1)),
+            atol=1e-12)
+
+    def test_se2_support_states_preserved(self):
+        """Non-trivial (non-geodesic) SE(2) trajectory: densification keeps
+        every original support state bit-exactly at stride (inter+1) and
+        matches the GP interpolator state-by-state."""
+        from gpmp2_tpu.geometry.statespace import SE2Space
+        from gpmp2_tpu.gp.interpolator import (interp_coeffs,
+                                               interpolate_state)
+
+        space = SE2Space()
+        rng = np.random.default_rng(2)
+        n = 5
+        dt = 0.8
+        Qc = jnp.asarray(np.diag([1.0, 2.0, 0.5]), jnp.float64)
+        poses = jnp.asarray(rng.normal(size=(n, 3)), jnp.float64)
+        vels = jnp.asarray(rng.normal(size=(n, 3)), jnp.float64)
+        traj = Trajectory(poses, vels)
+        inter = 2
+        dense = interpolate_traj(space, traj, Qc, dt, inter)
+        num_int = inter + 1
+        np.testing.assert_allclose(
+            np.asarray(dense.pose[::num_int]), np.asarray(poses), atol=0)
+        np.testing.assert_allclose(
+            np.asarray(dense.vel[::num_int]), np.asarray(vels), atol=0)
+        # every interpolated state == the Lie GP interpolator's output
+        for i in range(n - 1):
+            for j in range(1, num_int):
+                tau = j * dt / num_int
+                ip, iv = interpolate_state(
+                    space, interp_coeffs(Qc, dt, tau),
+                    poses[i], vels[i], poses[i + 1], vels[i + 1])
+                np.testing.assert_allclose(
+                    np.asarray(dense.pose[i * num_int + j]),
+                    np.asarray(ip), atol=1e-12)
+                np.testing.assert_allclose(
+                    np.asarray(dense.vel[i * num_int + j]),
+                    np.asarray(iv), atol=1e-12)
+
+    def test_se2_vector_blockwise(self):
+        """SE(2) x R^2 densification decomposes: with block-diagonal Qc the
+        base block matches pure-SE(2) densification and the arm block
+        matches pure-vector densification (interpolatePose2MobileArmTraj
+        semantics, TrajUtils.cpp:236-275)."""
+        from gpmp2_tpu.geometry.statespace import (SE2Space, SE2VectorSpace,
+                                                   VectorSpace)
+
+        rng = np.random.default_rng(5)
+        n = 4
+        dt = 0.6
+        space = SE2VectorSpace(2)
+        poses = jnp.asarray(rng.normal(size=(n, 5)), jnp.float64)
+        vels = jnp.asarray(rng.normal(size=(n, 5)), jnp.float64)
+        inter = 3
+        dense = interpolate_traj(space, Trajectory(poses, vels),
+                                 jnp.eye(5, dtype=jnp.float64), dt, inter)
+
+        dense_se2 = interpolate_traj(
+            SE2Space(), Trajectory(poses[:, :3], vels[:, :3]),
+            jnp.eye(3, dtype=jnp.float64), dt, inter)
+        dense_vec = interpolate_traj(
+            VectorSpace(2), Trajectory(poses[:, 3:], vels[:, 3:]),
+            jnp.eye(2, dtype=jnp.float64), dt, inter)
+        np.testing.assert_allclose(np.asarray(dense.pose[:, :3]),
+                                   np.asarray(dense_se2.pose), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(dense.pose[:, 3:]),
+                                   np.asarray(dense_vec.pose), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(dense.vel[:, :3]),
+                                   np.asarray(dense_se2.vel), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(dense.vel[:, 3:]),
+                                   np.asarray(dense_vec.vel), atol=1e-12)

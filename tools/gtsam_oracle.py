@@ -125,6 +125,18 @@ def se2_retract(a, xi):
     return se2_compose(a, se2_expmap(xi))
 
 
+# Pose2Vector = SE(2) x R^n product (Pose2Vector.h:26-53): storage
+# [x, y, theta, q...], tangent [vx, vy, omega, qdot...]
+
+
+def se2vec_local(a, b):
+    return np.concatenate([se2_local(a[:3], b[:3]), b[3:] - a[3:]])
+
+
+def se2vec_retract(a, xi):
+    return np.concatenate([se2_retract(a[:3], xi[:3]), a[3:] + xi[3:]])
+
+
 # ---------------------------------------------------------------------------
 # SDFs (reference obstacle/PlanarSDF.h, SignedDistanceField.h)
 # ---------------------------------------------------------------------------
@@ -360,7 +372,12 @@ class Graph:
         m = 2 * self.dof
         dp = delta.reshape(self.n, m)[:, :self.dof]
         dv = delta.reshape(self.n, m)[:, self.dof:]
-        if self.lie:
+        if self.lie == "se2_vector":
+            # Pose2Vector product retract (Pose2Vector.h:26-53): SE(2)
+            # chart on the first 3 coords, vector add on the rest
+            new_pose = np.stack([se2vec_retract(pose[i], dp[i])
+                                 for i in range(self.n)])
+        elif self.lie:
             new_pose = np.stack([se2_retract(pose[i], dp[i])
                                  for i in range(self.n)])
         else:
@@ -443,6 +460,87 @@ def gp_prior_se2(i, dt, Qc):
                   (2 * (i + 1), H3), (2 * (i + 1) + 1, H4)]
         return r, W, blocks
     return f
+
+
+def prior_factor_se2vec(i, mean, W):
+    """PriorFactorPose2Vector (matlabUtils.h): r = local(mean, p) on the
+    SE(2) x R^n product, numeric chart Jacobian."""
+    d = len(mean)
+
+    def f(state, want_jac):
+        pose, vel = state
+        r = se2vec_local(mean, pose[i])
+        J = _num_jac(
+            lambda dp: se2vec_local(mean, se2vec_retract(pose[i], dp)), d)
+        return r, W, [(2 * i, J)]
+    return f
+
+
+def gp_prior_se2vec(i, dt, Qc):
+    """GaussianProcessPriorPose2Vector (GaussianProcessPriorLie.h:60-86 on
+    the product): r = [Local(p1, p2) - v1 dt; v2 - v1]."""
+    W = calc_Q_inv(Qc, dt)
+
+    def f(state, want_jac):
+        pose, vel = state
+        p1, v1, p2, v2 = pose[i], vel[i], pose[i + 1], vel[i + 1]
+        d = len(v1)
+        rlog = se2vec_local(p1, p2)
+        r = np.concatenate([rlog - v1 * dt, v2 - v1])
+        Jp1 = _num_jac(lambda dp: se2vec_local(se2vec_retract(p1, dp), p2), d)
+        Jp2 = _num_jac(lambda dp: se2vec_local(p1, se2vec_retract(p2, dp)), d)
+        H1 = np.vstack([Jp1, np.zeros((d, d))])
+        H2 = np.vstack([-dt * np.eye(d), -np.eye(d)])
+        H3 = np.vstack([Jp2, np.zeros((d, d))])
+        H4 = np.vstack([np.zeros((d, d)), np.eye(d)])
+        blocks = [(2 * i, H1), (2 * i + 1, H2),
+                  (2 * (i + 1), H3), (2 * (i + 1) + 1, H4)]
+        return r, W, blocks
+    return f
+
+
+class OracleMobileArm:
+    """Pose2MobileArm (Pose2MobileArm.cpp:28-108): SE(2) base + DH arm
+    mounted at base_T_arm = identity. Link 0 = base, links 1.. = arm.
+    Sphere Jacobians are numeric over the product tangent
+    (vx, vy, omega, qdot...) — chart-exact for an oracle."""
+
+    def __init__(self, arm: "OracleArm", spheres):
+        self.arm = arm
+        self.dof = 3 + arm.dof
+        self.spheres = [(int(l), float(r), np.asarray(c, float))
+                        for (l, r, c) in spheres]
+
+    def _centers(self, q):
+        x, y, th = q[0], q[1], q[2]
+        c, s = math.cos(th), math.sin(th)
+        T_base = np.array([
+            [c, -s, 0.0, x], [s, c, 0.0, y],
+            [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]])
+        frames = [T_base]
+        Ho = T_base
+        for j in range(self.arm.dof):
+            Ho = Ho @ dh_matrix(self.arm.a[j], self.arm.alpha[j],
+                                self.arm.d[j],
+                                q[3 + j] + self.arm.theta_bias[j])
+            frames.append(Ho.copy())
+        S = len(self.spheres)
+        centers = np.zeros((S, 3))
+        for sidx, (lid, _r, cc) in enumerate(self.spheres):
+            T = frames[lid]
+            centers[sidx] = T[:3, :3] @ cc + T[:3, 3]
+        return centers
+
+    def sphere_centers_jac(self, q, eps=1e-7):
+        centers = self._centers(q)
+        d = self.dof
+        S = len(self.spheres)
+        J = np.zeros((S, 3, d))
+        for k in range(d):
+            dp = np.zeros(d)
+            dp[k] = eps
+            J[:, :, k] = (self._centers(se2vec_retract(q, dp)) - centers) / eps
+        return centers, J
 
 
 def obstacle_factor(i, robot, sdf, cost_sigma, eps, planar):
@@ -786,6 +884,14 @@ def dogleg_optimize(graph: Graph, state0, max_iter=100, rel_tol=1e-6,
 
 def init_straight_line(start, end, n_steps, total_time, lie=False):
     n = n_steps + 1
+    if lie == "se2_vector":
+        # initPose2VectorTrajStraightLine (TrajUtils.cpp:53-73)
+        xi = se2vec_local(start, end)
+        pose = np.stack([se2vec_retract(start, xi * (i / n_steps))
+                         for i in range(n)])
+        avg = xi / total_time
+        vel = np.tile(avg, (n, 1))
+        return pose, vel
     if lie:
         # initPose2TrajStraightLine: gtsam interpolate = retract of scaled
         # local coordinates (TrajUtils.cpp:76-93)
@@ -919,6 +1025,104 @@ def build_replan_fixture_pointrobot2d(rounds=4, rel_tol=1e-4):
         **{k: np.asarray(v) for k, v in rec.items()},
     )
     return out
+
+
+def _mobilearm_world_robot():
+    """SimpleTwoLinksArm mobile manipulator (generateMobileArm.m:22-44:
+    2-link 0.3-long arm on an SE(2) base, 10 body spheres) in a one-box
+    2D world."""
+    occ = np.zeros((300, 300))
+    occ[150:190, 170:210] = 1.0
+    cell = 0.01
+    origin = np.array([-1.5, -1.5])
+    sdf = OraclePlanarSDF(origin, cell, sdf_2d_from_occupancy(occ, cell))
+    arm = OracleArm([0.3, 0.3], [0.0, 0.0], [0.0, 0.0])
+    spheres = (
+        [(0, 0.12, (-0.1, 0.0, 0.0)), (0, 0.12, (0.0, 0.0, 0.0)),
+         (0, 0.12, (0.1, 0.0, 0.0))]
+        + [(1, 0.05, (x, 0.0, 0.0)) for x in (-0.3, -0.2, -0.1)]
+        + [(2, 0.05, (x, 0.0, 0.0)) for x in (-0.3, -0.2, -0.1, 0.0)]
+    )
+    robot = OracleMobileArm(arm, spheres)
+    return sdf, robot, cell, origin, [150, 190, 170, 210]
+
+
+def _mobilearm_graph(sdf, robot, start, end, pins=()):
+    """Pose2MobileArm replanning graph (the mobile analog of
+    _pointrobot2d_graph): product priors, Pose2Vector GP priors, planar
+    obstacle factors; pins = fixConfigAndVel slots
+    (ISAM2TrajOptimizer-inl.h:162-169 on Pose2Vector states,
+    ISAM2TrajOptimizer.h:140-152 Pose2MobileArm2D typedef)."""
+    n_steps, total_time = 10, 5.0
+    dt = total_time / n_steps
+    d = robot.dof
+    Qc = np.eye(d)
+    graph = Graph(n_steps + 1, d, lie="se2_vector")
+    Wp = np.eye(d) / 0.0001 ** 2
+    Wv = np.eye(d) / 0.0001 ** 2
+    cost_sigma, eps = 0.1, 0.2
+    zv = np.zeros(d)
+    for i in range(n_steps + 1):
+        if i == 0:
+            graph.add(prior_factor_se2vec(i, start, Wp))
+            graph.add(prior_factor_vector(i, zv, Wv, True))
+        elif i == n_steps:
+            graph.add(prior_factor_se2vec(i, end, Wp))
+            graph.add(prior_factor_vector(i, zv, Wv, True))
+        graph.add(obstacle_factor(i, robot, sdf, cost_sigma, eps, True))
+        if i > 0:
+            graph.add(gp_prior_se2vec(i - 1, dt, Qc))
+    for idx, pose, vel in pins:
+        graph.add(prior_factor_se2vec(idx, np.asarray(pose), Wp))
+        graph.add(prior_factor_vector(idx, np.asarray(vel), Wv, True))
+    return graph, dict(n_steps=n_steps, total_time=total_time, inter=0,
+                       cost_sigma=cost_sigma, eps=eps)
+
+
+def build_replan_fixture_mobilearm(rounds=4, rel_tol=1e-4):
+    """Mobile-manipulator (SE(2) x R^2) replanning-sequence fixture — the
+    Lie-state analog of build_replan_fixture_pointrobot2d, covering the
+    reference's Pose2MobileArm2D replanner typedef
+    (ISAM2TrajOptimizer.h:140-152, -inl.h:121-195 on Pose2Vector)."""
+    sdf, robot, cell, origin, occ_box = _mobilearm_world_robot()
+    start = np.array([-1.0, -1.0, 0.0, 0.3, 0.6])
+    goal0 = np.array([1.0, 1.0, 1.0, 0.6, 0.3])
+    graph, p = _mobilearm_graph(sdf, robot, start, goal0)
+    state0 = init_straight_line(start, goal0, p["n_steps"], p["total_time"],
+                                lie="se2_vector")
+    state, err, iters, conv, _ = lm_optimize(
+        graph, state0, max_iter=100, rel_tol=rel_tol)
+    cold_err = err
+    rng = np.random.default_rng(11)
+    pins = []
+    rec = dict(pin_idx=[], pin_pose=[], pin_vel=[], goal=[], final_error=[],
+               converged=[])
+    for r in range(1, rounds + 1):
+        idx = r
+        pp = np.array(state[0][idx])
+        pv = np.array(state[1][idx])
+        pins.append((idx, pp, pv))
+        goal = se2vec_retract(goal0, 0.05 * rng.normal(size=robot.dof))
+        graph, _ = _mobilearm_graph(sdf, robot, start, goal, pins)
+        state, err, iters, conv, _ = lm_optimize(
+            graph, state, max_iter=100, rel_tol=rel_tol)
+        rec["pin_idx"].append(idx)
+        rec["pin_pose"].append(pp)
+        rec["pin_vel"].append(pv)
+        rec["goal"].append(goal)
+        rec["final_error"].append(err)
+        rec["converged"].append(conv)
+    return dict(
+        init_pose=state0[0], init_vel=state0[1],
+        cold_final_error=float(cold_err),
+        final_pose=state[0], final_vel=state[1],
+        meta_start=start, meta_goal0=goal0,
+        meta_n_steps=p["n_steps"], meta_total_time=p["total_time"],
+        meta_inter=p["inter"], meta_cost_sigma=p["cost_sigma"],
+        meta_eps=p["eps"], meta_rel_tol=rel_tol,
+        meta_occ_box=occ_box, meta_cell=cell, meta_origin=origin,
+        **{k: np.asarray(v) for k, v in rec.items()},
+    )
 
 
 def build_config_mobilebase():
@@ -1197,13 +1401,18 @@ def main():
               f"{extra['gn']['final_error']:.4f} ({extra['gn']['iters']} it, "
               f"conv={extra['gn']['converged']}) -> {path}")
 
-    # replanning-sequence fixture (the iSAM2 path's independent evidence)
-    rp = build_replan_fixture_pointrobot2d()
-    rpath = os.path.join(args.fixtures_dir, "oracle_replan_pointrobot2d.npz")
-    np.savez_compressed(rpath, **rp)
-    errs = ", ".join(f"{e:.4f}" for e in rp["final_error"])
-    print(f"replan_pointrobot2d: cold {rp['cold_final_error']:.4f} -> "
-          f"rounds [{errs}] -> {rpath}")
+    # replanning-sequence fixtures (the iSAM2 path's independent evidence):
+    # vector-state AND Lie-state (Pose2MobileArm) sessions
+    for name, build in (
+        ("replan_pointrobot2d", build_replan_fixture_pointrobot2d),
+        ("replan_mobilearm", build_replan_fixture_mobilearm),
+    ):
+        rp = build()
+        rpath = os.path.join(args.fixtures_dir, f"oracle_{name}.npz")
+        np.savez_compressed(rpath, **rp)
+        errs = ", ".join(f"{e:.4f}" for e in rp["final_error"])
+        print(f"{name}: cold {rp['cold_final_error']:.4f} -> "
+              f"rounds [{errs}] -> {rpath}")
 
 
 if __name__ == "__main__":
