@@ -346,6 +346,71 @@ def _retract_for(space):
     return partial(_retract_traj, space)
 
 
+def _rescue_gave_up_f64(problems: TrajProblem, problem_axes,
+                        init_traj: Trajectory, params: OptimizerParams,
+                        res: OptResult) -> OptResult:
+    """Re-solve gave-up lanes in float64 on the host CPU backend.
+
+    The reference runs GTSAM in double precision throughout
+    (BatchTrajOptimizer.cpp:212-308 drives double-precision GTSAM); the
+    batched TPU path is float32, and on the hardest draws the LM lambda
+    escalation hits the f32 rounding floor and gives up where the f64
+    oracle converges (measured: the entire Arm3Limits2D converged gap,
+    docs/perf_notes.md round-4 quality note). This rescue gathers the
+    gave_up lanes, casts their problems to f64, re-solves FROM THE INITIAL
+    TRAJECTORY (matching the oracle's from-scratch semantics) on the CPU
+    backend, and scatters trajectories/stats back in the original dtype.
+
+    Host-driven and eager by construction — plan_batch only invokes it
+    outside jit. No-op when nothing gave up."""
+    import dataclasses as _dc
+
+    gave = np.array(jax.device_get(res.gave_up))
+    idx = np.nonzero(gave)[0]
+    if idx.size == 0:
+        return res
+    cpu = jax.devices("cpu")[0]
+
+    def take_cast(ax, leaf):
+        arr = np.asarray(jax.device_get(leaf))
+        if ax is not None:
+            arr = np.take(arr, idx, axis=ax)
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(np.float64)
+        return arr
+
+    probs_np = jax.tree_util.tree_map(
+        take_cast, problem_axes, problems, is_leaf=lambda x: x is None)
+    pose0 = np.asarray(jax.device_get(init_traj.pose))[idx]
+    vel0 = np.asarray(jax.device_get(init_traj.vel))[idx]
+    sub_params = _dc.replace(
+        params, rescue_f64=False, loop="dynamic", compact=False,
+        lin_layout="batch", ts_mesh=None, ts_parts=0)
+    with jax.enable_x64(), jax.default_device(cpu):
+        probs64 = jax.tree_util.tree_map(jnp.asarray, probs_np)
+        init64 = Trajectory(jnp.asarray(pose0.astype(np.float64)),
+                            jnp.asarray(vel0.astype(np.float64)))
+        sub = jax.device_get(
+            plan_batch(probs64, init64, sub_params, problem_axes))
+
+    pose = np.array(jax.device_get(res.traj.pose))
+    vel = np.array(jax.device_get(res.traj.vel))
+    err = np.array(jax.device_get(res.error))
+    iters = np.array(jax.device_get(res.iterations))
+    conv = np.array(jax.device_get(res.converged))
+    pose[idx] = np.asarray(sub.traj.pose).astype(pose.dtype)
+    vel[idx] = np.asarray(sub.traj.vel).astype(vel.dtype)
+    err[idx] = np.asarray(sub.error).astype(err.dtype)
+    iters[idx] = iters[idx] + np.asarray(sub.iterations)
+    conv[idx] = np.asarray(sub.converged)
+    gave[idx] = np.asarray(sub.gave_up)
+    return OptResult(
+        Trajectory(jnp.asarray(pose), jnp.asarray(vel)),
+        jnp.asarray(err), jnp.asarray(iters), jnp.asarray(conv),
+        jnp.asarray(gave),
+    )
+
+
 def plan_batch(problems: TrajProblem, init_traj: Trajectory,
                params: OptimizerParams, problem_axes=None) -> OptResult:
     """Optimize a batch of problems. `problem_axes` is a vmap in_axes
@@ -404,10 +469,15 @@ def plan_batch(problems: TrajProblem, init_traj: Trajectory,
     elif params.lin_layout == "flat":
         lin = _vmapped_lin_flat(problem_axes)
     retract = _retract_for(space)
-    return optimize_batch(
+    res = optimize_batch(
         lin, err, retract, init_traj, params,
         data=problems, data_axes=problem_axes,
     )
+    if params.rescue_f64 and not isinstance(
+            jax.tree_util.tree_leaves(init_traj)[0], jax.core.Tracer):
+        res = _rescue_gave_up_f64(problems, problem_axes, init_traj,
+                                  params, res)
+    return res
 
 
 def batch_traj_optimize(

@@ -129,6 +129,18 @@ class OptimizerParams:
     #       solve saves. LM/GN only.
     #   Dogleg requires 'batch'.
     lin_layout: str = "batch"
+    # float64 give-up rescue (planner.batch.plan_batch only): after the
+    # solve, lanes that STOPPED without converging (gave_up) are re-solved
+    # from the initial trajectory in double precision on the CPU backend
+    # (TPUs have no native f64) and scattered back. The reference runs
+    # GTSAM in f64 throughout; in f32 the LM lambda escalation can hit the
+    # rounding floor on the hardest draws (measured: the entire
+    # Arm3Limits2D converged-fraction gap vs the C++ oracle —
+    # docs/perf_notes.md round-4 quality note). Cost is proportional to
+    # the give-up count plus a host transfer of the gathered lanes'
+    # problem data, so keep it off for latency-critical fleets with large
+    # shared SDF worlds.
+    rescue_f64: bool = False
 
 
 class OptResult(NamedTuple):
