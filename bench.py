@@ -190,6 +190,33 @@ def main():
     good = conv & ~gave & collision_free & feasible
     plans_per_sec = int(good.sum()) / t_solve
 
+    # warm single-plan latency (serving figure): the reference's own use
+    # case (RSS'16 / WAMPlannerExample.m) is ONE plan in tens of ms. One
+    # jitted chunked solve at B=1 and B=32, timed submit -> host
+    # materialization. NOTE (CLAUDE.md measurement rules): this tunnel
+    # adds ~25-45 ms dispatch round trip per chunk + the final fetch,
+    # which a locally-attached chip would not pay; the reported number
+    # includes it (honest end-to-end), so on-device latency is lower.
+    from gpmp2_tpu.planner.problem import Trajectory
+    from gpmp2_tpu.solver.optimize import _gather_data
+
+    def warm_latency_ms(b):
+        idx = jnp.arange(b)
+        probs_b = _gather_data(probs, axes, idx)
+        init_b = Trajectory(init.pose[:b], init.vel[:b])
+
+        def once():
+            t0 = time.perf_counter()
+            res = plan_batch(probs_b, init_b, params, axes)
+            jax.device_get((res.error, res.converged))
+            return (time.perf_counter() - t0) * 1e3
+
+        once()  # compile warm-up for this batch shape
+        return min(once() for _ in range(max(REPEATS, 3)))
+
+    lat1 = warm_latency_ms(1)
+    lat32 = warm_latency_ms(32)
+
     # measured single-thread C++ oracle throughput on this machine
     # (tools/oracle/gpmp2_oracle.cpp, BASELINE_MEASURED.json)
     baseline_plans_per_sec = 355.6
@@ -207,6 +234,9 @@ def main():
             float(collision_free[feasible].mean()) if feasible.any() else 0.0, 4
         ),
         "solve_time_s": round(t_solve, 4),
+        "latency_b1_ms": round(lat1, 1),
+        "latency_b32_ms": round(lat32, 1),
+        "latency_note": "includes ~25-45ms/dispatch tunnel RTT",
         "compile_s": round(t_compile, 1),
         "mean_iters": round(float(iters.mean()), 2),
         "median_err": round(float(np.median(err)), 4),

@@ -70,9 +70,27 @@ def run_config(name, robot, sdf, starts, goals, setting, *, thru_B,
     dtype = jnp.float32
     space = robot.space
     template_sdf = problem_kwargs.pop("template_sdf", sdf)
-    params = optimizer_params_from_setting(setting)
+    # chunk 12 + ONE long (16-step) compacted tail chunk: the convergence
+    # tail is long (MultiWorld: last lane converges at attempt 25) but
+    # tiny after compaction, and over this remote-dispatch tunnel every
+    # chunk boundary costs a ~25-30 ms round trip — covering the whole
+    # tail in one compacted dispatch measured 136 vs 193 ms (12/0) and
+    # 305 ms (6/3) on MultiWorld2D at B=8192 (docs/perf_notes.md r5).
+    params = dataclasses.replace(
+        optimizer_params_from_setting(setting),
+        chunk_size=int(os.environ.get("SUITE_CHUNK", "12")),
+        tail_chunk=int(os.environ.get("SUITE_TAIL", "16")),
+    )
+    # quality pass: f64 give-up rescue ON (the oracle denominators run
+    # GTSAM-semantics in double precision throughout; rescue_f64 is the
+    # framework's equivalent for the hard tail — docs/perf_notes.md r4/r5).
+    # The throughput pass stays rescue-free: the rescue's host round trip
+    # would be charged to plans/s, and the q512 columns are the
+    # like-for-like quality comparison.
+    rescue = os.environ.get("SUITE_RESCUE", "1") != "0"
+    params_q = dataclasses.replace(params, rescue_f64=rescue)
 
-    def solve_set(this_sdf, s, g):
+    def solve_set(this_sdf, s, g, params=params):
         B = s.shape[0]
         zeros = jnp.zeros((B, space.dim), dtype)
         probs = make_problem(robot, this_sdf, s, zeros, g, zeros, setting,
@@ -93,11 +111,13 @@ def run_config(name, robot, sdf, starts, goals, setting, *, thru_B,
             t0 = time.perf_counter()
             res = plan_batch(probs, init, params, axes)
             cc = cc_jit(probs, res.traj.pose)
-            err = np.asarray(res.error)
-            conv = np.asarray(res.converged) & ~np.asarray(res.gave_up)
-            ccn = np.asarray(cc)
-            gave = np.asarray(res.gave_up)
-            iters = np.asarray(res.iterations)
+            # ONE device_get for all result arrays: each separate
+            # np.asarray pays a full ~20-30 ms tunnel round trip, which at
+            # the small configs' ~0.15 s solves was >30% of the measured
+            # time (bench.py got this fix in r4; the suite had not)
+            err, ccn, gave, iters, convr = jax.device_get(
+                (res.error, cc, res.gave_up, res.iterations, res.converged))
+            conv = convr & ~gave
             return time.perf_counter() - t0, err, conv, ccn, gave, iters
 
         t_compile, *_ = run()
@@ -108,7 +128,8 @@ def run_config(name, robot, sdf, starts, goals, setting, *, thru_B,
         return best, t_compile, err, conv, ccn, gave, iters
 
     # quality on the exact oracle problem set
-    _, _, err_q, conv_q, cc_q, gave_q, iters_q = solve_set(sdf, starts, goals)
+    _, _, err_q, conv_q, cc_q, gave_q, iters_q = solve_set(
+        sdf, starts, goals, params=params_q)
     # throughput at the big batch
     t_thru, t_compile, err_t, conv_t, cc_t, gave_t, iters_t = solve_set(
         thru_sdf if thru_sdf is not None else sdf, thru_starts, thru_goals)
@@ -128,6 +149,7 @@ def run_config(name, robot, sdf, starts, goals, setting, *, thru_B,
         # like-for-like quality on the oracle's exact 512 problems
         "q512_converged_frac": round(float(conv_q.mean()), 4),
         "q512_collision_free_frac": round(float((cc_q < 1e-4).mean()), 4),
+        "q512_rescue_f64": rescue,
     }
     if oracle:
         out["vs_baseline"] = round(plans_per_sec / oracle["plans_per_sec"], 2)
