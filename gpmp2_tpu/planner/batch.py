@@ -346,6 +346,38 @@ def _retract_for(space):
     return partial(_retract_traj, space)
 
 
+# host mirrors of problem leaves for the f64 rescue, keyed by device-array
+# identity: the big shared leaves (e.g. a 108 MB SDF field on the far side
+# of a remote-dispatch tunnel) transfer ONCE per problem object instead of
+# once per solve call. Weakrefs keep dead entries collectable.
+_RESCUE_HOST_CACHE: dict = {}
+_RESCUE_HOST_MAX = 64
+
+
+def _host_copy(leaf, cast_f64: bool):
+    import weakref
+
+    key = (id(leaf), cast_f64)
+    hit = _RESCUE_HOST_CACHE.get(key)
+    if hit is not None and hit[0]() is leaf:
+        return hit[1]
+    arr = np.array(jax.device_get(leaf))
+    if cast_f64 and np.issubdtype(arr.dtype, np.floating):
+        arr = arr.astype(np.float64)
+    try:
+        ref = weakref.ref(leaf)
+    except TypeError:
+        return arr
+    if len(_RESCUE_HOST_CACHE) >= _RESCUE_HOST_MAX:
+        dead = [k for k, v in _RESCUE_HOST_CACHE.items() if v[0]() is None]
+        for k in dead:
+            del _RESCUE_HOST_CACHE[k]
+        if len(_RESCUE_HOST_CACHE) >= _RESCUE_HOST_MAX:
+            _RESCUE_HOST_CACHE.clear()
+    _RESCUE_HOST_CACHE[key] = (ref, arr)
+    return arr
+
+
 def _rescue_gave_up_f64(problems: TrajProblem, problem_axes,
                         init_traj: Trajectory, params: OptimizerParams,
                         res: OptResult) -> OptResult:
@@ -361,6 +393,11 @@ def _rescue_gave_up_f64(problems: TrajProblem, problem_axes,
     TRAJECTORY (matching the oracle's from-scratch semantics) on the CPU
     backend, and scatters trajectories/stats back in the original dtype.
 
+    The corner-packed SDF table (8x/4x the field, redundant with `data`)
+    is NOT transferred: the rescue solves with packed=None (the lookups
+    fall back to the per-corner path, fine at rescue lane counts). Shared
+    leaves transfer once per problem object (_RESCUE_HOST_CACHE).
+
     Host-driven and eager by construction — plan_batch only invokes it
     outside jit. No-op when nothing gave up."""
     import dataclasses as _dc
@@ -371,18 +408,36 @@ def _rescue_gave_up_f64(problems: TrajProblem, problem_axes,
         return res
     cpu = jax.devices("cpu")[0]
 
+    # drop the packed table from the transfer (placeholder keeps the pytree
+    # structure through tree_map; the axes copy marks it shared)
+    sdf_dev = problems.sdf
+    if getattr(sdf_dev, "packed", None) is not None:
+        problems = _dc.replace(
+            problems, sdf=sdf_dev._replace(packed=jnp.zeros((), jnp.float32)))
+        problem_axes = _dc.replace(
+            problem_axes, sdf=problem_axes.sdf._replace(packed=None))
+
     def take_cast(ax, leaf):
-        arr = np.asarray(jax.device_get(leaf))
-        if ax is not None:
-            arr = np.take(arr, idx, axis=ax)
+        if leaf is None:
+            # absent optional subtree (e.g. SDF screen/coarse fields): the
+            # axes tree flattens it to a None "leaf" under is_leaf — keep
+            # it None so the rebuilt pytree has the same empty subtree
+            return None
+        if ax is None:
+            return _host_copy(leaf, cast_f64=True)
+        arr = _host_copy(leaf, cast_f64=False)
+        arr = np.take(arr, idx, axis=ax)
         if np.issubdtype(arr.dtype, np.floating):
             arr = arr.astype(np.float64)
         return arr
 
     probs_np = jax.tree_util.tree_map(
         take_cast, problem_axes, problems, is_leaf=lambda x: x is None)
-    pose0 = np.asarray(jax.device_get(init_traj.pose))[idx]
-    vel0 = np.asarray(jax.device_get(init_traj.vel))[idx]
+    if getattr(probs_np.sdf, "packed", None) is not None:
+        probs_np = _dc.replace(
+            probs_np, sdf=probs_np.sdf._replace(packed=None))
+    pose0 = _host_copy(init_traj.pose, cast_f64=False)[idx]
+    vel0 = _host_copy(init_traj.vel, cast_f64=False)[idx]
     sub_params = _dc.replace(
         params, rescue_f64=False, loop="dynamic", compact=False,
         lin_layout="batch", ts_mesh=None, ts_parts=0)

@@ -111,6 +111,53 @@ class TestRescueF64:
         np.testing.assert_array_equal(np.asarray(rescued.error)[good],
                                       np.asarray(res.error)[good])
 
+    def test_forced_rescue_3d_sdf(self):
+        """3D SignedDistanceField problems carry MORE absent optional
+        fields (None subtrees) than planar ones; the rescue's axes
+        flattening must pass them through untouched (r5 regression: the
+        WAM suite config crashed with a dtype-object error here)."""
+        from gpmp2_tpu.obstacle.sdf import SignedDistanceField
+        from gpmp2_tpu.robots import generate_arm
+
+        arm = generate_arm("SimpleTwoLinksArm")
+        n = 16
+        cell = 2.0 / (n - 1)
+        xs = -1.0 + cell * np.arange(n)
+        Z, Y, X = np.meshgrid(xs, xs, xs, indexing="ij")
+        dist = np.sqrt(X**2 + Y**2 + (Z - 0.4) ** 2) - 0.25
+        sdf = SignedDistanceField(
+            origin=jnp.asarray([-1.0, -1.0, -1.0], jnp.float32),
+            cell_size=jnp.asarray(cell, jnp.float32),
+            data=jnp.asarray(dist, jnp.float32))
+        setting = TrajOptimizerSetting(
+            dof=2, total_step=6, total_time=3.0, cost_sigma=0.1,
+            obs_check_inter=3, opt_type="lm", max_iter=50, rel_thresh=1e-2,
+            Qc=np.eye(2))
+        B = 4
+        rng = np.random.default_rng(1)
+        s = jnp.asarray(0.1 * rng.normal(size=(B, 2)), jnp.float32)
+        g = jnp.asarray(np.array([1.2, -0.5]) + 0.1 * rng.normal(size=(B, 2)),
+                        jnp.float32)
+        zeros = jnp.zeros((B, 2), jnp.float32)
+        probs = make_problem(arm, sdf, s, zeros, g, zeros, setting)
+        template = make_problem(arm, sdf, s[0], zeros[0], g[0], zeros[0],
+                                setting)
+        axes = infer_batch_axes(probs, template)
+        space = arm.space
+        init = jax.vmap(
+            lambda a, b: init_traj_straight_line(space, a, b, 6, 3.0)
+        )(probs.start_pose, probs.end_pose)
+        params = optimizer_params_from_setting(setting)
+        res = plan_batch(probs, init, params, axes)
+        bad = np.zeros(B, bool)
+        bad[1] = True
+        forced = OptResult(
+            res.traj, res.error, res.iterations,
+            jnp.asarray(np.asarray(res.converged) & ~bad), jnp.asarray(bad))
+        rescued = _rescue_gave_up_f64(probs, axes, init, params, forced)
+        assert bool(np.asarray(rescued.converged)[1])
+        assert not bool(np.asarray(rescued.gave_up)[1])
+
     def test_rescue_output_dtype_matches(self):
         probs, axes, init, params = _setup()
         res = plan_batch(probs, init, params, axes)
