@@ -137,6 +137,7 @@ def main():
         optimizer_params_from_setting(setting), loop=LOOP,
         chunk_size=int(os.environ.get("BENCH_CHUNK", "9")),
         tail_chunk=int(os.environ.get("BENCH_TAIL", "3")),
+        tail_growth=float(os.environ.get("BENCH_TAILGROWTH", "1.0")),
         lambda_init=float(os.environ.get("BENCH_LAMBDA0", "100.0")),
     )
 

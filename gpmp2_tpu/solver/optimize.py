@@ -90,6 +90,15 @@ class OptimizerParams:
     # mop up stragglers (usually compacted to a small batch), where a
     # shorter trip count re-checks the all-done flag sooner.
     tail_chunk: int = 0
+    # geometric growth of successive tail chunks (1.0 = every tail uses
+    # tail_chunk steps). On a remote-dispatch backend each chunk boundary
+    # costs a full host round trip (~25-30 ms here); with a long
+    # convergence tail, growing the k-th tail to tail_chunk*growth^k
+    # steps (capped at 4x chunk_size) covers the same attempts in
+    # O(log) dispatches while still exiting early when the fleet
+    # finishes fast. Each distinct tail size compiles its own chunk
+    # program once (persistently cached).
+    tail_growth: float = 1.0
     # straggler compaction ('chunked' mode with data_axes): between chunks,
     # gather still-active lanes into a power-of-two batch so late
     # iterations don't pay full-batch linearize cost for converged lanes.
@@ -672,17 +681,26 @@ def optimize_batch(
             run_first = jax.jit(
                 lambda d, t0: chunkf(d, make_init(d, t0)))
         csize = max(1, params.chunk_size)
-        tail = max(1, params.tail_chunk or csize)
-        if tail != csize:
-            tail_params = dataclasses.replace(params, chunk_size=tail)
+        tail0 = max(1, params.tail_chunk or csize)
+        growth = max(1.0, params.tail_growth)
+        tail_cap = max(tail0, 4 * csize)
+        _tail_cache: dict = {}
+
+        def tail_runner(size):
+            if size == csize:
+                return run_chunk
+            hit = _tail_cache.get(size)
+            if hit is not None:
+                return hit
+            tail_params = dataclasses.replace(params, chunk_size=size)
             if cacheable:
-                _, run_tail, _ = _chunked_callables(
-                    lin2, retract_fn, tail_params, data=data)
+                fn = _chunked_callables(
+                    lin2, retract_fn, tail_params, data=data)[1]
             else:
-                run_tail = jax.jit(_make_chunk(step, tail_params),
-                                   donate_argnums=1)
-        else:
-            run_tail = run_chunk
+                fn = jax.jit(_make_chunk(step, tail_params),
+                             donate_argnums=1)
+            _tail_cache[size] = fn
+            return fn
         st, done0, active0 = run_first(data, traj0)
         B0 = int(st.err.shape[0])
         # straggler compaction: active-lane gather between chunks. The
@@ -701,6 +719,7 @@ def optimize_batch(
         abs_idx = None  # for finished lanes); abs_idx maps lane -> 0..B0
         data_cur = data
         attempts = csize
+        tail_k = 0
         done_dev, active_dev = done0, active0
         while True:
             # one transfer fetches the all-done flag AND the per-lane
@@ -729,7 +748,9 @@ def optimize_batch(
                     abs_idx = abs_idx[idx]
                     data_cur = _gather_data(data, data_axes,
                                             jnp.asarray(abs_idx))
-            st, done_dev, active_dev = run_tail(data_cur, st)
+            tail = max(1, min(int(tail0 * growth**tail_k), tail_cap))
+            tail_k += 1
+            st, done_dev, active_dev = tail_runner(tail)(data_cur, st)
             attempts += tail
         if full_st is not None:
             st = _scatter_state_unique(full_st, abs_idx, st,
