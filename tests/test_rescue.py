@@ -158,6 +158,62 @@ class TestRescueF64:
         assert bool(np.asarray(rescued.converged)[1])
         assert not bool(np.asarray(rescued.gave_up)[1])
 
+    def test_forced_rescue_per_problem_worlds(self):
+        """Per-problem SDF worlds (the MultiWorld suite config): the
+        packed table is a PER-LANE leaf (axis 0), replaced by a scalar
+        placeholder for the transfer and recomputed as packed=None — the
+        taken per-lane `data` must drive the rescue correctly."""
+        from gpmp2_tpu.obstacle.sdf import PlanarSDF
+
+        n = 32
+        ys = -1.5 + 3.0 / (n - 1) * np.arange(n)
+        X, Y = np.meshgrid(ys, ys)
+        B = 6
+        rng = np.random.default_rng(2)
+        cys = rng.uniform(-0.3, 0.3, B)
+        data = np.stack([np.sqrt(X**2 + (Y - c) ** 2) - 0.3 for c in cys])
+        sdf = PlanarSDF(origin=jnp.asarray([-1.5, -1.5], jnp.float32),
+                        cell_size=jnp.asarray(3.0 / (n - 1), jnp.float32),
+                        data=jnp.asarray(data, jnp.float32))
+        sdf_single = PlanarSDF(sdf.origin, sdf.cell_size, sdf.data[0])
+        robot = make_robot_model(PointRobotFK(),
+                                 [(0, 0.05, (0.0, 0.0, 0.0))])
+        setting = TrajOptimizerSetting(
+            dof=2, total_step=8, total_time=4.0, cost_sigma=0.1,
+            obs_check_inter=3, opt_type="lm", max_iter=50, rel_thresh=1e-2,
+            Qc=np.eye(2))
+        s = jnp.asarray(
+            np.stack([np.full(B, -0.9), rng.uniform(-0.3, 0.3, B)], -1),
+            jnp.float32)
+        g = jnp.asarray(
+            np.stack([np.full(B, 0.9), rng.uniform(-0.3, 0.3, B)], -1),
+            jnp.float32)
+        zeros = jnp.zeros((B, 2), jnp.float32)
+        probs = make_problem(robot, sdf, s, zeros, g, zeros, setting,
+                             sdf_pack=True)
+        template = make_problem(robot, sdf_single, s[0], zeros[0], g[0],
+                                zeros[0], setting, sdf_pack=True)
+        axes = infer_batch_axes(probs, template)
+        assert probs.sdf.packed is not None
+        assert axes.sdf.packed == 0  # per-lane packed leaf
+        space = robot.space
+        init = jax.vmap(
+            lambda a, b: init_traj_straight_line(space, a, b, 8, 4.0)
+        )(probs.start_pose, probs.end_pose)
+        params = optimizer_params_from_setting(setting)
+        res = plan_batch(probs, init, params, axes)
+        bad = np.zeros(B, bool)
+        bad[[0, 3]] = True
+        forced = OptResult(
+            res.traj, res.error, res.iterations,
+            jnp.asarray(np.asarray(res.converged) & ~bad), jnp.asarray(bad))
+        rescued = _rescue_gave_up_f64(probs, axes, init, params, forced)
+        assert np.asarray(rescued.converged)[bad].all()
+        assert not np.asarray(rescued.gave_up)[bad].any()
+        np.testing.assert_allclose(
+            np.asarray(rescued.error)[bad], np.asarray(res.error)[bad],
+            rtol=1e-3)
+
     def test_rescue_output_dtype_matches(self):
         probs, axes, init, params = _setup()
         res = plan_batch(probs, init, params, axes)
