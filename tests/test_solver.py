@@ -281,6 +281,30 @@ class TestCompaction:
             **_C_TOL,
         )
 
+    def test_tail_growth_matches(self):
+        """Geometric tail growth (tail_growth) is pure scheduling: results
+        are bit-identical to the uniform-tail chunked loop and the static
+        loop regardless of growth factor."""
+        lin, ret, x0, data, axes = self._setup_cubic()
+        base = OptimizerParams(
+            method="lm", rel_thresh=1e-12, abs_thresh=1e-14, max_iter=40,
+            reject_budget=20, loop="chunked", chunk_size=2, tail_chunk=1,
+            compact=True, compact_floor=2,
+        )
+        res_uniform = optimize_batch(
+            lin, None, ret, x0, base, data=data, data_axes=axes)
+        res_grow = optimize_batch(
+            lin, None, ret, x0, dataclasses_replace(base, tail_growth=2.0),
+            data=data, data_axes=axes)
+        np.testing.assert_array_equal(
+            np.asarray(res_grow.converged), np.asarray(res_uniform.converged))
+        np.testing.assert_array_equal(
+            np.asarray(res_grow.iterations),
+            np.asarray(res_uniform.iterations))
+        np.testing.assert_allclose(
+            np.asarray(res_grow.traj), np.asarray(res_uniform.traj),
+            **_C_TOL)
+
     def test_compaction_disabled_matches(self):
         lin, ret, x0, data, axes = self._setup_cubic()
         base = OptimizerParams(method="lm", max_iter=40, reject_budget=20)
