@@ -56,7 +56,7 @@ class PlanarSDF(NamedTuple):
     origin: jnp.ndarray  # (2,) world coords of cell (0, 0)
     cell_size: jnp.ndarray  # scalar
     data: jnp.ndarray  # (rows, cols)
-    packed: Optional[jnp.ndarray] = None  # (rows*cols, 4) corner-packed
+    packed: Optional[jnp.ndarray] = None  # (4, rows*cols) corner-major packed
 
 
 class SignedDistanceField(NamedTuple):
@@ -122,15 +122,41 @@ def pack_sdf(sdf: SignedDistanceField, dtype=None) -> SignedDistanceField:
     return sdf._replace(packed=packed)
 
 
-def pack_planar_sdf(sdf: PlanarSDF) -> PlanarSDF:
-    """2D analog of `pack_sdf`: packed[l] = 4 bilinear corners of cell l."""
+def _planar_packed_corner_major(pk) -> bool:
+    """Layout discriminator: corner-major tables are (..., 4, cells),
+    row-major are (..., cells, 4). cells == 4 (a 2x2 world) is ambiguous
+    and treated as row-major — no perf stake at that size."""
+    return pk.ndim >= 2 and pk.shape[-2] == 4 and pk.shape[-1] != 4
+
+
+def pack_planar_sdf(sdf: PlanarSDF, corner_major: bool = False) -> PlanarSDF:
+    """2D analog of `pack_sdf`: one packed row/column per cell holding its
+    4 bilinear corners.
+
+    Two layouts (both understood by every lookup):
+      - ROW-MAJOR (..., cells, 4), the default: one contiguous 16-byte
+        row per query — the only sane layout for HBM-resident tables
+        (large or per-problem world batches), where a corner-major column
+        would cost 4 scattered HBM touches (the r1 unpacked-gather
+        result).
+      - CORNER-MAJOR (..., 4, cells), opt-in: for small on-chip-staged
+        tables the gather's output then has each corner as a contiguous
+        row. In an ISOLATED gather+lerp chain this removes a relayout
+        copy of the whole gather output (23.7 -> 16.0 ms at the Arm3
+        suite shape) — but in the full linearize it measured NEUTRAL
+        (1450 vs 1413 ms full solve): the relayout is really the
+        materialization of the corner tensor in the layout the hinge/
+        Jacobian consumers force, and XLA reintroduces it on the other
+        side of the gather. Kept as a tested option; see
+        docs/perf_notes.md round-5 Arm3 note.
+    """
     if sdf.packed is not None:
         return sdf
     cols = sdf.data.shape[-1]
     flat = sdf.data.reshape(sdf.data.shape[:-2] + (-1,))
     packed = jnp.stack(
         [jnp.roll(flat, -off, axis=-1) for off in (0, cols, 1, cols + 1)],
-        axis=-1,
+        axis=-2 if corner_major else -1,
     )
     return sdf._replace(packed=packed)
 
@@ -193,16 +219,24 @@ def planar_sdf_lookup(sdf: PlanarSDF, point):
     # fused 4-corner gather from the flattened field (see the 3D variant
     # for the boundary-safety argument); one row gather when packed
     base = lri * cols + lci
-    if sdf.packed is not None:
+    if sdf.packed is not None and _planar_packed_corner_major(sdf.packed):
+        # corner-major table: one gather, each corner a contiguous slice
+        vals = jnp.take(sdf.packed.reshape(4, -1), base, axis=1,
+                        mode="clip")
+        d00, d10, d01, d11 = vals[0], vals[1], vals[2], vals[3]
+    elif sdf.packed is not None:
         vals = jnp.take(sdf.packed.reshape(-1, 4), base, axis=0,
                         mode="clip")
+        d00, d10, d01, d11 = (
+            vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3],
+        )
     else:
         flat = sdf.data.reshape(-1)
         corner_offs = jnp.asarray([0, cols, 1, cols + 1], jnp.int32)
         vals = jnp.take(flat, base[..., None] + corner_offs, mode="clip")
-    d00, d10, d01, d11 = (
-        vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3],
-    )
+        d00, d10, d01, d11 = (
+            vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3],
+        )
 
     dist = (
         (1.0 - fy) * (1.0 - fx) * d00
@@ -376,8 +410,15 @@ def planar_sdf_lookup_components(sdf, px, py):
     base = lri * cols + lci
     shape = base.shape
     flat = base.reshape(-1)
-    if sdf.packed is not None:
-        vals = jnp.take(sdf.packed.reshape(-1, 4), flat, axis=0, mode="clip")
+    if sdf.packed is not None and _planar_packed_corner_major(sdf.packed):
+        # corner-major table ((4, cells)): corner rows come out of the
+        # gather contiguous — no relayout copy of the gather output
+        vals = jnp.take(sdf.packed.reshape(4, -1), flat, axis=1,
+                        mode="clip")
+        v = [vals[k].reshape(shape).astype(px.dtype) for k in range(4)]
+    elif sdf.packed is not None:
+        vals = jnp.take(sdf.packed.reshape(-1, 4), flat, axis=0,
+                        mode="clip")
         v = [vals[:, k].reshape(shape).astype(px.dtype) for k in range(4)]
     else:
         data = sdf.data.reshape(-1)

@@ -173,6 +173,10 @@ class TestPacked:
         sdf, data = make_planar()
         packed = pack_planar_sdf(sdf)
         assert packed.packed.shape == (4 * 5, 4)
+        # corner-major opt-in layout: identical lookups
+        packed_cm = pack_planar_sdf(sdf._replace(packed=None),
+                                    corner_major=True)
+        assert packed_cm.packed.shape == (4, 4 * 5)
         r = np.random.default_rng(8)
         pts = np.concatenate([
             r.uniform([-1.0, -2.0], [1.0, -0.5], size=(64, 2)),
@@ -186,6 +190,20 @@ class TestPacked:
                                    atol=1e-12)
         np.testing.assert_allclose(np.asarray(g0)[m], np.asarray(g1)[m],
                                    atol=1e-12)
+        d2, g2, ok2 = planar_sdf_lookup(packed_cm, jnp.asarray(pts))
+        np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok2))
+        np.testing.assert_allclose(np.asarray(d0)[m], np.asarray(d2)[m],
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(g0)[m], np.asarray(g2)[m],
+                                   atol=1e-12)
+        # component lookup agrees on both layouts too
+        from gpmp2_tpu.obstacle.sdf import planar_sdf_lookup_components
+        for pk in (packed, packed_cm):
+            dc, gx, gy, okc = planar_sdf_lookup_components(
+                pk, jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]))
+            np.testing.assert_array_equal(np.asarray(ok0), np.asarray(okc))
+            np.testing.assert_allclose(np.asarray(d0)[m],
+                                       np.asarray(dc)[m], atol=1e-12)
 
     def test_make_problem_autopacks(self):
         from gpmp2_tpu.planner import TrajOptimizerSetting, make_problem
