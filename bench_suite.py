@@ -51,7 +51,7 @@ def _oracle_baselines():
 
 def run_config(name, robot, sdf, starts, goals, setting, *, thru_B,
                thru_starts, thru_goals, thru_sdf=None, oracle=None,
-               **problem_kwargs):
+               chunk=None, tail=None, **problem_kwargs):
     """Quality on the exact (512) set + throughput at thru_B. `sdf` may be
     per-problem (MultiWorld); `thru_sdf` overrides it for the throughput
     batch."""
@@ -76,10 +76,18 @@ def run_config(name, robot, sdf, starts, goals, setting, *, thru_B,
     # chunk boundary costs a ~25-30 ms round trip — covering the whole
     # tail in one compacted dispatch measured 136 vs 193 ms (12/0) and
     # 305 ms (6/3) on MultiWorld2D at B=8192 (docs/perf_notes.md r5).
+    # per-config overrides (chunk/tail args) beat the env/default: the
+    # right tail depends on the per-step cost after compaction and the
+    # convergence profile — Arm3's tail stays near full batch for ~17
+    # attempts, so unconditional long tails overrun (12/0 measured 1413
+    # vs 12/16's 1580 ms there), while the fast-converging configs want
+    # one long compacted tail dispatch (MultiWorld: 136 vs 193 ms).
     params = dataclasses.replace(
         optimizer_params_from_setting(setting),
-        chunk_size=int(os.environ.get("SUITE_CHUNK", "12")),
-        tail_chunk=int(os.environ.get("SUITE_TAIL", "16")),
+        chunk_size=(chunk if chunk is not None
+                    else int(os.environ.get("SUITE_CHUNK", "12"))),
+        tail_chunk=(tail if tail is not None
+                    else int(os.environ.get("SUITE_TAIL", "16"))),
     )
     # quality pass: f64 give-up rescue ON (the oracle denominators run
     # GTSAM-semantics in double precision throughout; rescue_f64 is the
@@ -122,7 +130,9 @@ def run_config(name, robot, sdf, starts, goals, setting, *, thru_B,
 
         t_compile, *_ = run()
         best = np.inf
-        for _ in range(2):
+        # min of 3: the small configs solve in ~0.15 s where the ~25-30 ms
+        # dispatch round trips contribute up to ~25% run-to-run jitter
+        for _ in range(3):
             t, err, conv, ccn, gave, iters = run()
             best = min(best, t)
         return best, t_compile, err, conv, ccn, gave, iters
@@ -255,7 +265,7 @@ def main():
     ts, tg = draw_a3(rng_t, Bt)
     run_config("Arm3Limits2D", arm3, sdf2, starts_a, goals_a, setting_a,
                thru_B=Bt, thru_starts=ts, thru_goals=tg,
-               oracle=oracles.get("Arm3Limits2D"))
+               oracle=oracles.get("Arm3Limits2D"), tail=0)
 
     # ---- 4. WAM 7-DOF (unfiltered endpoints; bench.py is the headline) --
     wam = generate_arm("WAMArm")
