@@ -214,6 +214,30 @@ class TestRescueF64:
             np.asarray(rescued.error)[bad], np.asarray(res.error)[bad],
             rtol=1e-3)
 
+    def test_host_copy_caches_per_object(self, monkeypatch):
+        """Shared problem leaves (e.g. a 108 MB SDF field over a remote
+        tunnel) must transfer once per object, not once per rescue call."""
+        from gpmp2_tpu.planner import batch as batch_mod
+
+        batch_mod._RESCUE_HOST_CACHE.clear()
+        calls = {"n": 0}
+        orig = jax.device_get
+
+        def counting(x):
+            calls["n"] += 1
+            return orig(x)
+
+        monkeypatch.setattr(jax, "device_get", counting)
+        leaf = jnp.arange(12.0)
+        a1 = batch_mod._host_copy(leaf, cast_f64=True)
+        a2 = batch_mod._host_copy(leaf, cast_f64=True)
+        assert calls["n"] == 1
+        assert a1 is a2 and a1.dtype == np.float64
+        # a DIFFERENT object (even equal-valued) transfers again
+        batch_mod._host_copy(jnp.arange(12.0), cast_f64=True)
+        assert calls["n"] == 2
+        batch_mod._RESCUE_HOST_CACHE.clear()
+
     def test_rescue_output_dtype_matches(self):
         probs, axes, init, params = _setup()
         res = plan_batch(probs, init, params, axes)
